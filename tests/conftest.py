@@ -1,0 +1,13 @@
+"""Test configuration: force an 8-virtual-device CPU platform BEFORE
+jax initializes, so sharding tests exercise real multi-device code
+paths without TPU hardware (the standard JAX fake-multi-device
+mechanism)."""
+import os
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402  (import after env is set)
+
+jax.config.update("jax_default_matmul_precision", "highest")
