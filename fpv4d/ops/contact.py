@@ -1,0 +1,79 @@
+"""Contact-vertex registry: which SMPL-X vertices may touch the scene.
+
+Replaces get_contact_id (global_optimization.py:79-94): loads PROX
+body-segment JSONs ``{part}.json`` with ``verts_ind``/``faces_ind``
+keys from a folder, dedups, and concatenates. Also provides a
+synthetic fallback registry for tests/benchmarks when the PROX segment
+files are absent (they are licensed assets).
+
+Part names used by the pipeline: ['L_Leg','R_Leg'] for the clip solve
+(global_optimization.py:676) and ['back','butt','L_Hand','R_Hand',
+'L_Leg','R_Leg','thighs'] for the per-frame smoother
+(optimization.py:317).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+CLIP_SOLVE_PARTS = ("L_Leg", "R_Leg")
+FRAME_FIT_PARTS = ("back", "butt", "L_Hand", "R_Hand", "L_Leg", "R_Leg",
+                   "thighs")
+ALL_PARTS = ("back", "butt", "gluteus", "L_Hand", "R_Hand", "L_Leg",
+             "R_Leg", "thighs")
+
+
+def load_contact_ids(segments_folder: str,
+                     parts: Sequence[str] = ("L_Hand", "R_Hand")
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Read {part}.json files -> (vert_ids, face_ids), each a
+    concatenation of the per-part deduplicated index sets."""
+    verts, faces = [], []
+    for part in parts:
+        with open(os.path.join(segments_folder, part + ".json")) as f:
+            data = json.load(f)
+        verts.append(np.asarray(sorted(set(data["verts_ind"])), np.int32))
+        faces.append(np.asarray(sorted(set(data["faces_ind"])), np.int32))
+    return np.concatenate(verts), np.concatenate(faces)
+
+
+def synthetic_segments(num_verts: int, seed: int = 0,
+                       parts: Sequence[str] = ALL_PARTS
+                       ) -> Dict[str, List[int]]:
+    """Deterministic fake segment map over a model with num_verts
+    vertices — disjoint id blocks per part, sized like PROX segments
+    (hundreds of verts per leg)."""
+    rng = np.random.RandomState(seed)
+    per_part = max(8, num_verts // (len(parts) * 3))
+    out = {}
+    for i, part in enumerate(parts):
+        ids = rng.choice(num_verts, size=per_part, replace=False)
+        out[part] = sorted(int(v) for v in ids)
+    return out
+
+
+def write_synthetic_segments(folder: str, num_verts: int,
+                             seed: int = 0) -> None:
+    """Materialize synthetic {part}.json files in the reference's
+    segment-file format."""
+    os.makedirs(folder, exist_ok=True)
+    segs = synthetic_segments(num_verts, seed)
+    for part, ids in segs.items():
+        with open(os.path.join(folder, part + ".json"), "w") as f:
+            json.dump({"verts_ind": ids, "faces_ind": ids}, f)
+
+
+def contact_ids(segments_folder: str, parts: Sequence[str],
+                num_verts: int, seed: int = 0) -> np.ndarray:
+    """Vertex ids for the given parts; falls back to the synthetic
+    registry if the folder (or any part file) is missing."""
+    try:
+        vids, _ = load_contact_ids(segments_folder, parts)
+        return vids
+    except (FileNotFoundError, TypeError):
+        segs = synthetic_segments(num_verts, seed)
+        return np.concatenate([np.asarray(segs[p], np.int32)
+                               for p in parts])

@@ -1,0 +1,111 @@
+"""Pallas NN kernel vs plain-JAX reference (interpret mode on CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fpv4d.ops.chamfer_ref import nn_distance_ref, chamfer_ref, pairwise_sqdist
+from fpv4d.ops.chamfer_pallas import nn_distance, chamfer
+
+INTERP = dict(interpret=True, tile_q=128, tile_m=256)
+
+
+def clouds(B=2, N=100, M=777, seed=0, scale=1.0):
+    rng = np.random.RandomState(seed)
+    x = rng.randn(B, N, 3).astype(np.float32) * scale
+    y = rng.randn(M, 3).astype(np.float32) * scale
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def test_pairwise_sqdist_matches_naive():
+    x, y = clouds(1, 20, 30)
+    d = np.asarray(pairwise_sqdist(x, y[None]))[0]
+    naive = ((np.asarray(x)[0][:, None] - np.asarray(y)[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(d, naive, atol=1e-4)
+
+
+def test_kernel_matches_reference():
+    x, y = clouds(2, 100, 777, seed=1)
+    d_ref, i_ref = nn_distance_ref(x, y[None])
+    d_ker, i_ker = nn_distance(x, y, **INTERP)
+    np.testing.assert_allclose(np.asarray(d_ker), np.asarray(d_ref),
+                               atol=1e-3, rtol=1e-4)
+    # indices must agree wherever the min is unique enough
+    agree = np.mean(np.asarray(i_ker) == np.asarray(i_ref))
+    assert agree > 0.999
+
+
+def test_kernel_unaligned_sizes():
+    # N and M deliberately not multiples of the tile sizes
+    for N, M in [(1, 5), (129, 257), (7, 1000)]:
+        x, y = clouds(1, N, M, seed=N)
+        d_ref, _ = nn_distance_ref(x, y[None])
+        d_ker, _ = nn_distance(x, y, **INTERP)
+        np.testing.assert_allclose(np.asarray(d_ker), np.asarray(d_ref),
+                                   atol=1e-3, rtol=1e-4)
+
+
+def test_kernel_large_coordinates():
+    # metric-scale scene clouds have coords in the tens of meters
+    x, y = clouds(1, 64, 300, seed=3, scale=20.0)
+    d_ref, _ = nn_distance_ref(x, y[None])
+    d_ker, _ = nn_distance(x, y, **INTERP)
+    np.testing.assert_allclose(np.asarray(d_ker), np.asarray(d_ref),
+                               atol=1e-2, rtol=1e-4)
+
+
+def test_kernel_gradient_matches_reference():
+    x, y = clouds(2, 50, 201, seed=4)
+
+    def loss_kernel(x, y):
+        d, _ = nn_distance(x, y, **INTERP)
+        r = jnp.sqrt(d + 1e-4)
+        return jnp.mean(r / (r + 1.0))
+
+    def loss_ref(x, y):
+        d, _ = nn_distance_ref(x, y[None])
+        r = jnp.sqrt(d + 1e-4)
+        return jnp.mean(r / (r + 1.0))
+
+    gx_k, gy_k = jax.grad(loss_kernel, argnums=(0, 1))(x, y)
+    gx_r, gy_r = jax.grad(loss_ref, argnums=(0, 1))(x, y)
+    np.testing.assert_allclose(np.asarray(gx_k), np.asarray(gx_r),
+                               atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gy_k), np.asarray(gy_r),
+                               atol=1e-4, rtol=1e-3)
+
+
+def test_kernel_gradient_finite_difference():
+    x, y = clouds(1, 8, 33, seed=5)
+
+    def loss(x):
+        d, _ = nn_distance(x, y, **INTERP)
+        return jnp.sum(d)
+
+    g = np.asarray(jax.grad(loss)(x))
+    eps = 1e-3
+    xn = np.asarray(x)
+    for (b, n, c) in [(0, 0, 0), (0, 3, 1), (0, 7, 2)]:
+        xp = xn.copy(); xp[b, n, c] += eps
+        xm = xn.copy(); xm[b, n, c] -= eps
+        fd = (float(loss(jnp.asarray(xp))) - float(loss(jnp.asarray(xm)))) \
+            / (2 * eps)
+        assert g[b, n, c] == pytest.approx(fd, abs=2e-2)
+
+
+def test_chamfer_four_tuple_contract():
+    x, y = clouds(2, 40, 60, seed=6)
+    d1, d2, i1, i2 = chamfer(x, y, **INTERP)
+    r1, r2, j1, j2 = chamfer_ref(x, y[None])
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(r1), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(r2), atol=1e-3)
+    assert d1.shape == (2, 40) and d2.shape == (2, 60)
+
+
+def test_exact_match_point():
+    # a query point identical to a scene point must give ~0 distance
+    y = jnp.asarray(np.random.RandomState(7).randn(50, 3), jnp.float32)
+    x = y[None, 10:14, :]
+    d, i = nn_distance(x, y, **INTERP)
+    assert float(jnp.abs(d).max()) < 1e-4
+    np.testing.assert_array_equal(np.asarray(i)[0], np.arange(10, 14))
