@@ -1,0 +1,67 @@
+"""Configuration dataclasses: the single home of every knob the
+reference scatters across inline dicts and hardcoded stage multipliers
+(global_optimization.py:145-150,663-686; optimization.py:98-103,304-327).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class LossWeights:
+    """lossconfig of the reference (global_optimization.py:681-686)."""
+    rec: float = 1.0
+    vposer: float = 0.001
+    contact: float = 0.1
+    collision: float = 0.5      # declared by the reference, unused there
+
+
+@dataclass(frozen=True)
+class ClipConfig:
+    """Clip-level joint optimization (global_optimization.py)."""
+    num_iter: int = 500                   # :672
+    num_iter_dct: int = 10000             # :596
+    lr: float = 0.005                     # :671
+    scale_init: float = 1.8               # :179
+    window: int = 60                      # BATCH_FRAME_NUM :41
+    dct_num: int = 5                      # DCT_NUM :44
+    num_dct_joints: int = 23              # :233
+    outlier_factor: float = 1.8           # :466
+    weights: LossWeights = field(default_factory=LossWeights)
+    contact_parts: Tuple[str, ...] = ("L_Leg", "R_Leg")   # :676
+    # stage multipliers (:505-523, :558-582, :595-620)
+    local_contact_mult: float = 0.2
+    global_contact_mult: float = 0.1
+    phase_b_smooth_mult: float = 0.5
+    dct_mult: float = 10.0
+    stage_split: float = 0.8              # :505/:517 phase boundary
+    contact_phase_frac: float = 0.4       # :536 second local phase
+    dct_split: float = 0.95               # :601/:614
+
+
+@dataclass(frozen=True)
+class FrameFitConfig:
+    """Per-frame sequential smoothing (optimization.py:304-327)."""
+    num_iter: int = 50                    # :314
+    lr: float = 0.1                       # :313
+    smooth_mult: float = 5.0              # :227
+    weights: LossWeights = field(default_factory=LossWeights)
+    contact_parts: Tuple[str, ...] = (
+        "back", "butt", "L_Hand", "R_Hand", "L_Leg", "R_Leg", "thighs")
+
+
+@dataclass(frozen=True)
+class KeypointFitConfig:
+    """SMPLify-X-style fit from 2D keypoints (pipeline step 3,
+    README.md:14-17; focal length 694 per README.md:16)."""
+    focal_length: float = 694.0
+    image_size: Tuple[int, int] = (1280, 720)
+    num_iter: int = 120
+    lr: float = 0.02
+    stages: int = 3
+    weight_reproj: float = 1.0
+    weight_vposer: float = 0.05
+    weight_shape: float = 0.01
+    weight_hand: float = 0.01
+    gmof_rho: float = 100.0

@@ -30,14 +30,16 @@ def aa_to_matrot(aa: jnp.ndarray) -> jnp.ndarray:
     used at cvae.py:92.
     """
     aa = jnp.asarray(aa)
-    theta2 = jnp.sum(aa * aa, axis=-1, keepdims=True)  # [..., 1]
-    theta = jnp.sqrt(theta2 + _EPS)
-    # sin(t)/t and (1-cos(t))/t^2 with smooth small-angle limits.
+    theta2 = jnp.sum(aa * aa, axis=-1)                 # [...]
     small = theta2 < 1e-8
-    s = jnp.where(small[..., 0], 1.0 - theta2[..., 0] / 6.0,
-                  jnp.sin(theta[..., 0]) / theta[..., 0])
-    c = jnp.where(small[..., 0], 0.5 - theta2[..., 0] / 24.0,
-                  (1.0 - jnp.cos(theta[..., 0])) / theta2[..., 0])
+    # double-where: denominators are made non-zero in the unselected
+    # branch, otherwise the masked gradient is 0/0 = NaN at theta=0
+    safe_t2 = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(safe_t2)
+    # sin(t)/t and (1-cos(t))/t^2 with smooth small-angle limits.
+    s = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    c = jnp.where(small, 0.5 - theta2 / 24.0,
+                  (1.0 - jnp.cos(theta)) / safe_t2)
     x, y, z = aa[..., 0], aa[..., 1], aa[..., 2]
     zero = jnp.zeros_like(x)
     K = jnp.stack([
@@ -86,14 +88,22 @@ def matrot_to_quat(R: jnp.ndarray) -> jnp.ndarray:
 
 
 def quat_to_aa(q: jnp.ndarray) -> jnp.ndarray:
-    """Unit quaternion [..., 4] (w,x,y,z) -> axis-angle [..., 3]."""
+    """Unit quaternion [..., 4] (w,x,y,z) -> axis-angle [..., 3].
+
+    Grad-safe at the identity: the vector norm is computed with the
+    double-`where` pattern so no NaN leaks through the unselected
+    branch (plain `where(small, ..., theta/norm)` still backprops NaN
+    from d norm(0)).
+    """
     w = jnp.clip(q[..., 0], -1.0, 1.0)
     v = q[..., 1:]
-    vn = jnp.linalg.norm(v, axis=-1)
-    theta = 2.0 * jnp.arctan2(vn, w)
-    # theta/sin(theta/2) with smooth limit 2 at theta -> 0
-    half = theta * 0.5
-    k = jnp.where(vn < 1e-6, 2.0 + theta * theta / 12.0, theta / (vn + _EPS))
+    v2 = jnp.sum(v * v, axis=-1)
+    small = v2 < 1e-12
+    safe_v2 = jnp.where(small, 1.0, v2)       # keeps sqrt grad finite
+    vn = jnp.sqrt(safe_v2)
+    theta = 2.0 * jnp.arctan2(jnp.where(small, 0.0, vn), w)
+    # aa = v * theta/|v|; near identity q ~ (1, aa/2) so the limit is 2
+    k = jnp.where(small, 2.0, theta / vn)
     return v * k[..., None]
 
 
@@ -132,14 +142,21 @@ def matrot_to_rot6d(R: jnp.ndarray) -> jnp.ndarray:
     return R[..., :, :2].reshape(R.shape[:-2] + (6,))
 
 
+def _safe_normalize(v: jnp.ndarray) -> jnp.ndarray:
+    """Normalize along the last axis with finite gradients at v=0."""
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    small = n2 < 1e-16
+    n = jnp.sqrt(jnp.where(small, 1.0, n2))
+    return jnp.where(small, 0.0, v / n)
+
+
 def rot6d_to_matrot(r6: jnp.ndarray) -> jnp.ndarray:
     """[..., 6] -> [..., 3, 3] by Gram-Schmidt (cvae.py:62-72)."""
     m = r6.reshape(r6.shape[:-1] + (3, 2))
     a1, a2 = m[..., :, 0], m[..., :, 1]
-    b1 = a1 / (jnp.linalg.norm(a1, axis=-1, keepdims=True) + _EPS)
+    b1 = _safe_normalize(a1)
     dot = jnp.sum(b1 * a2, axis=-1, keepdims=True)
-    b2u = a2 - dot * b1
-    b2 = b2u / (jnp.linalg.norm(b2u, axis=-1, keepdims=True) + _EPS)
+    b2 = _safe_normalize(a2 - dot * b1)
     b3 = jnp.cross(b1, b2)
     return jnp.stack([b1, b2, b3], axis=-1)
 

@@ -1,0 +1,380 @@
+"""Clip-level joint optimization — the main capability (reference C1,
+FittingOP at global_optimization.py:141-653).
+
+Jointly optimizes, over a whole clip at once:
+  * the body parameter sequence  [T, 78] (6D-rotation layout),
+  * a global metric scale        (init 1.8),
+  * per-frame camera extrinsics  [T, 4, 4],
+  * DCT trajectory coefficients  [W, 23, 3, K].
+
+TPU-first design vs the reference:
+  * every optimization phase compiles to ONE jitted lax.scan over Adam
+    steps — no host round-trips inside the hot loop (the reference
+    runs a Python loop with per-iteration .item() syncs and
+    empty_cache, global_optimization.py:501-532);
+  * the reference's imperative requires_grad staging (:505-521) maps
+    to *static* per-phase gradient masks (stage boundaries are known
+    at trace time, so each phase is its own compiled program and the
+    Adam moments persist across phases);
+  * the scene cloud is shared, not replicated per frame (:175-176);
+  * contact distances run through the Pallas NN kernel on TPU (plain
+    XLA fallback elsewhere).
+
+Modes: 'local' (contact + smoothing, then planted-foot anti-skate
+phase), 'global' (adds world joint smoothing), 'dct' (trajectory-prior
+refinement) — same three entry modes as the reference CLI (:660).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from fpv4d.config import ClipConfig
+from fpv4d.core import rotations, transforms
+from fpv4d.models import params as P
+from fpv4d.models import vposer as VP
+from fpv4d.models.smplx import SmplxModel
+from fpv4d.ops import losses
+from fpv4d.ops.chamfer_pallas import nn_distance
+from fpv4d.ops.chamfer_ref import nn_distance_ref
+
+
+class ClipState(NamedTuple):
+    """Decision variables (a pytree; one leaf per reference Variable,
+    global_optimization.py:179-186)."""
+    body_6d: jnp.ndarray      # [T, 78]
+    scale: jnp.ndarray        # scalar
+    camera_ext: jnp.ndarray   # [T, 4, 4]
+    c_dct: jnp.ndarray        # [W, J_dct, 3, K]
+
+
+class Terms(NamedTuple):
+    """All loss terms, computed every step (as cal_loss does)."""
+    rec: jnp.ndarray
+    vposer: jnp.ndarray
+    contact: jnp.ndarray
+    smooth: jnp.ndarray
+    world_smooth: jnp.ndarray
+    dct: jnp.ndarray
+
+
+def _grad_mask(body=False, scale=False, camera=False, dct=False):
+    """Static per-leaf gradient mask == one requires_grad configuration
+    of the reference (global_optimization.py:505-521)."""
+    return ClipState(body_6d=float(body), scale=float(scale),
+                     camera_ext=float(camera), c_dct=float(dct))
+
+
+@dataclass
+class ClipSolver:
+    """Owns the models + scene and exposes fit()/save-ready outputs."""
+    model: SmplxModel
+    vposer_params: Dict[str, jnp.ndarray]
+    scene_verts: jnp.ndarray            # [M, 3]
+    contact_vids: np.ndarray            # combined contact parts
+    contact_vids_left: np.ndarray       # L_Leg
+    contact_vids_right: np.ndarray      # R_Leg
+    config: ClipConfig = ClipConfig()
+    use_pallas: Optional[bool] = None   # default: on TPU backends
+
+    def __post_init__(self):
+        if self.use_pallas is None:
+            self.use_pallas = jax.default_backend() == "tpu"
+        self._opt = optax.adam(self.config.lr)
+        # jitted phase programs, keyed by (phase, num_steps); model and
+        # scene arrays are closure constants of each program
+        self._compiled = {}
+
+    # -- geometry ------------------------------------------------------------
+
+    def _nn(self, pts: jnp.ndarray) -> jnp.ndarray:
+        """[T, N, 3] vs scene -> squared NN distance [T, N]."""
+        if self.use_pallas:
+            d, _ = nn_distance(pts, self.scene_verts)
+        else:
+            d, _ = nn_distance_ref(pts, self.scene_verts[None])
+        return d
+
+    def forward_world(self, state: ClipState
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
+        """body_6d -> world-space vertices [T,V,3] and joints [T,23,3].
+
+        Pipeline of cal_loss (global_optimization.py:261-299): decode
+        6D -> 75-d, VPoser decode the 32-d latent, SMPL-X forward,
+        scale vertices, rigid-transform by camera_ext @ pivot. Joints
+        are transformed UNscaled, exactly like the reference (:298-299
+        applies verts_transform without the *scale it gives verts).
+        """
+        body = rotations.params_to_3d(state.body_6d)        # [T, 75]
+        d = P.split(body)
+        pose63 = VP.decode(self.vposer_params, d["body_pose"])
+        out = self.model(
+            betas=d["betas"], global_orient=d["global_orient"],
+            body_pose=pose63, transl=d["transl"],
+            left_hand_pose=d["left_hand_pose"],
+            right_hand_pose=d["right_hand_pose"])
+        b2w = transforms.body2world(state.camera_ext,
+                                    d["camera_translation"], state.scale)
+        verts_w = transforms.transform_points(
+            out["vertices"] * state.scale, b2w)
+        joints_w = transforms.transform_points(out["joints"][:, :23], b2w)
+        return verts_w, joints_w, {"body_75": body,
+                                   "latent": d["body_pose"]}
+
+    # -- objectives ----------------------------------------------------------
+
+    def terms(self, state: ClipState, target_6d: jnp.ndarray,
+              frame_weights: jnp.ndarray) -> Terms:
+        """All six cal_loss terms (global_optimization.py:249-312)."""
+        w = self.config.weights
+        verts_w, joints_w, aux = self.forward_world(state)
+        rec = w.rec * losses.rec_l1(target_6d, state.body_6d, frame_weights)
+        vposer = w.vposer * losses.vposer_prior(aux["latent"])
+        smooth = losses.second_order_smoothness(state.body_6d)
+        contact_d = self._nn(verts_w[:, self.contact_vids])
+        contact = w.contact * losses.robust_contact(contact_d)
+        world_smooth = losses.first_order_smoothness(joints_w)
+        dct = losses.dct_trajectory(joints_w, state.c_dct,
+                                    self.config.window)
+        return Terms(rec, vposer, contact, smooth, world_smooth, dct)
+
+    def terms2(self, state: ClipState, target_6d: jnp.ndarray,
+               frame_weights: jnp.ndarray,
+               weight_right: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+        """cal_loss2: anti-foot-skate phase terms
+        (global_optimization.py:368-447)."""
+        w = self.config.weights
+        verts_w, _, _ = self.forward_world(state)
+        rec = w.rec * losses.rec_l1(target_6d, state.body_6d, frame_weights)
+        local_smooth = losses.second_order_smoothness(state.body_6d)
+        vert_smooth = losses.second_order_smoothness(verts_w)
+        skate = losses.foot_skate(verts_w[:, self.contact_vids_left],
+                                  verts_w[:, self.contact_vids_right],
+                                  weight_right)
+        return rec, local_smooth, vert_smooth, skate
+
+    def detect_contact(self, state: ClipState) -> jnp.ndarray:
+        """Per-frame planted-foot weight (detect_contact,
+        global_optimization.py:315-365, with the intended
+        left/(left+right) formula — see losses.planted_foot_weight)."""
+        verts_w, _, _ = self.forward_world(state)
+        d_left = jnp.mean(self._nn(verts_w[:, self.contact_vids_left]),
+                          axis=1)
+        d_right = jnp.mean(self._nn(verts_w[:, self.contact_vids_right]),
+                           axis=1)
+        return jax.lax.stop_gradient(
+            losses.planted_foot_weight(d_left, d_right))
+
+    # -- init ----------------------------------------------------------------
+
+    def init_state(self, body_75: jnp.ndarray, camera_ext: jnp.ndarray
+                   ) -> Tuple[ClipState, jnp.ndarray, jnp.ndarray]:
+        """Seed decision variables + outlier handling (init(),
+        global_optimization.py:450-489).
+
+        Frames whose VPoser latent energy exceeds outlier_factor x mean
+        are treated as wrong upstream detections: their reconstruction
+        weight is zeroed and their initialization is replaced by the
+        nearest non-outlier frame. Returns (state, target_6d,
+        frame_weights).
+        """
+        cfg = self.config
+        T = body_75.shape[0]
+        body_6d = rotations.params_to_6d(body_75)
+        a, b = P.VPOSER_SLICE
+        latent = body_75[:, a:b]
+        stats = jnp.sum(latent ** 2, axis=1)
+        good = stats <= cfg.outlier_factor * jnp.mean(stats)
+
+        idx = jnp.arange(T)
+        # nearest good frame for every frame (outliers re-seeded from it)
+        dist = jnp.abs(idx[:, None] - idx[None, :]) + jnp.where(
+            good[None, :], 0, 10 * T)
+        nearest_good = jnp.argmin(dist, axis=1)
+        seed_from = jnp.where(good, idx, nearest_good)
+        body_6d = body_6d[seed_from]
+
+        num_windows = T // cfg.window
+        state = ClipState(
+            body_6d=body_6d,
+            scale=jnp.asarray(cfg.scale_init, dtype=jnp.float32),
+            camera_ext=camera_ext.astype(jnp.float32),
+            c_dct=jnp.zeros((num_windows, cfg.num_dct_joints, 3,
+                             cfg.dct_num), dtype=jnp.float32),
+        )
+        target_6d = rotations.params_to_6d(body_75)
+        return state, target_6d, good.astype(jnp.float32)
+
+    # -- phase runner ----------------------------------------------------------
+
+    def _run_phase(self, state, opt_state, target_6d, frame_weights,
+                   num_steps: int, phase: str):
+        """One optimization phase: `num_steps` Adam steps under a
+        static gradient mask and static loss weighting, as a single
+        jitted lax.scan (compiled once per (phase, num_steps))."""
+        key = (phase, num_steps)
+        if key not in self._compiled:
+
+            @jax.jit
+            def run(state, opt_state, target_6d, frame_weights):
+                mask, loss_fn = self._phase_def(phase, target_6d,
+                                                frame_weights)
+
+                def step(carry, _):
+                    state, opt_state = carry
+                    loss, grads = jax.value_and_grad(loss_fn)(state)
+                    grads = jax.tree.map(lambda g, m: g * m, grads, mask)
+                    updates, opt_state = self._opt.update(
+                        grads, opt_state, state)
+                    state = optax.apply_updates(state, updates)
+                    return (state, opt_state), loss
+
+                (state, opt_state), hist = jax.lax.scan(
+                    step, (state, opt_state), None, length=num_steps)
+                return state, opt_state, hist
+
+            self._compiled[key] = run
+        return self._compiled[key](state, opt_state, target_6d,
+                                   frame_weights)
+
+    def _phase_def(self, phase: str, target_6d, frame_weights):
+        """Map a phase name to (grad mask, scalar loss fn) — the
+        static equivalents of the reference's requires_grad flips and
+        stage loss recipes (global_optimization.py:505-523 local,
+        :564-582 global, :601-620 dct)."""
+        cfg = self.config
+
+        def T(state):
+            return self.terms(state, target_6d, frame_weights)
+
+        if phase == "local_a":       # body+scale: contact+smooth+rec
+            mask = _grad_mask(body=True, scale=True)
+            fn = lambda s: (lambda t: t.contact * cfg.local_contact_mult
+                            + t.smooth + t.rec)(T(s))
+        elif phase == "local_b":     # camera+body: rec + 0.5*smooth
+            mask = _grad_mask(body=True, camera=True)
+            fn = lambda s: (lambda t: t.rec + t.smooth
+                            * cfg.phase_b_smooth_mult)(T(s))
+        elif phase == "global_a":
+            mask = _grad_mask(body=True, scale=True)
+            fn = lambda s: (lambda t: t.contact * cfg.global_contact_mult
+                            + t.smooth + t.rec)(T(s))
+        elif phase == "global_b":    # adds world joint smoothing
+            mask = _grad_mask(body=True, camera=True)
+            fn = lambda s: (lambda t: t.rec + t.world_smooth + t.smooth
+                            * cfg.phase_b_smooth_mult)(T(s))
+        elif phase == "dct_a":       # DCT coefficients only
+            mask = _grad_mask(dct=True)
+            fn = lambda s: T(s).dct * cfg.dct_mult
+        elif phase == "dct_b":
+            mask = _grad_mask(body=True, scale=True)
+            fn = lambda s: (lambda t: t.dct * 1e-4 + t.rec * 0.5
+                            + t.contact * 0.1)(T(s))
+        else:
+            raise ValueError(f"unknown phase {phase}")
+        return mask, fn
+
+    def _run_skate_phase(self, state, opt_state, target_6d, frame_weights,
+                         num_steps: int, weight_right):
+        """Local-mode phase 2: anti-foot-skate refinement over the body
+        sequence only (global_optimization.py:536-556)."""
+        key = ("skate", num_steps)
+        if key not in self._compiled:
+
+            @jax.jit
+            def run(state, opt_state, target_6d, frame_weights,
+                    weight_right):
+                mask = _grad_mask(body=True)
+
+                def loss_fn(state):
+                    rec, local_s, vert_s, skate = self.terms2(
+                        state, target_6d, frame_weights, weight_right)
+                    return vert_s + local_s + rec + skate
+
+                def step(carry, _):
+                    state, opt_state = carry
+                    loss, grads = jax.value_and_grad(loss_fn)(state)
+                    grads = jax.tree.map(lambda g, m: g * m, grads, mask)
+                    updates, opt_state = self._opt.update(
+                        grads, opt_state, state)
+                    state = optax.apply_updates(state, updates)
+                    return (state, opt_state), loss
+
+                (state, opt_state), hist = jax.lax.scan(
+                    step, (state, opt_state), None, length=num_steps)
+                return state, opt_state, hist
+
+            self._compiled[key] = run
+        return self._compiled[key](state, opt_state, target_6d,
+                                   frame_weights, weight_right)
+
+    # -- public API ------------------------------------------------------------
+
+    def fit(self, body_75: jnp.ndarray, camera_ext: jnp.ndarray,
+            mode: str = "local", verbose: bool = False
+            ) -> Tuple[ClipState, Dict[str, np.ndarray]]:
+        """Run the staged solve. body_75 [T,75] packed SMPLify-X
+        outputs; camera_ext [T,4,4] COLMAP world-from-camera init.
+
+        Returns the final state and a history dict of per-step losses.
+        Phase schedule mirrors fitting() (global_optimization.py:491-635).
+        """
+        cfg = self.config
+        state, target_6d, frame_weights = self.init_state(body_75,
+                                                          camera_ext)
+        opt_state = self._opt.init(state)
+        hist: Dict[str, np.ndarray] = {}
+
+        if mode == "local":
+            n_a = int(cfg.num_iter * cfg.stage_split)
+            n_b = cfg.num_iter - n_a
+            state, opt_state, h = self._run_phase(
+                state, opt_state, target_6d, frame_weights, n_a, "local_a")
+            hist["local_a"] = np.asarray(h)
+            state, opt_state, h = self._run_phase(
+                state, opt_state, target_6d, frame_weights, n_b, "local_b")
+            hist["local_b"] = np.asarray(h)
+            weight_right = self.detect_contact(state)
+            n_c = int(cfg.contact_phase_frac * cfg.num_iter)
+            state, opt_state, h = self._run_skate_phase(
+                state, opt_state, target_6d, frame_weights, n_c,
+                weight_right)
+            hist["local_skate"] = np.asarray(h)
+        elif mode == "global":
+            n_a = int(cfg.num_iter * cfg.stage_split)
+            n_b = cfg.num_iter - n_a
+            state, opt_state, h = self._run_phase(
+                state, opt_state, target_6d, frame_weights, n_a, "global_a")
+            hist["global_a"] = np.asarray(h)
+            state, opt_state, h = self._run_phase(
+                state, opt_state, target_6d, frame_weights, n_b, "global_b")
+            hist["global_b"] = np.asarray(h)
+        elif mode == "dct":
+            n = cfg.num_iter_dct
+            n_a = int(n * cfg.dct_split)
+            state, opt_state, h = self._run_phase(
+                state, opt_state, target_6d, frame_weights, n_a, "dct_a")
+            hist["dct_a"] = np.asarray(h)
+            state, opt_state, h = self._run_phase(
+                state, opt_state, target_6d, frame_weights, n - n_a, "dct_b")
+            hist["dct_b"] = np.asarray(h)
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+
+        if verbose:
+            for k, v in hist.items():
+                print(f"[fpv4d.clip_solve] {k}: loss {v[0]:.4f} -> "
+                      f"{v[-1]:.4f} ({len(v)} steps)")
+        return state, hist
+
+    def result_params(self, state: ClipState) -> Tuple[np.ndarray,
+                                                       float, np.ndarray]:
+        """Final (body_75 [T,75], scale, camera_ext [T,4,4]) — the
+        save_result inputs (global_optimization.py:633-635)."""
+        body = np.asarray(rotations.params_to_3d(state.body_6d))
+        return body, float(state.scale), np.asarray(state.camera_ext)

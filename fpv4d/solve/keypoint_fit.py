@@ -1,0 +1,211 @@
+"""SMPLify-X-style fitting from 2D keypoints (reference X12).
+
+The reference outsources pipeline step 3 to the external smplifyx
+repo ("may take up to several hours" per clip, README.md:14-17,
+--focal_length 694 per README.md:16). This module owns that capability
+TPU-natively: a staged perspective-reprojection fit of SMPL-X
+parameters to OpenPose BODY_25 keypoints, vmapped over ALL frames of a
+clip simultaneously — hundreds of per-frame problems advance per
+compiled Adam step instead of one frame at a time.
+
+Stages (classic SMPLify-X schedule):
+  1. camera: depth init from torso size, then global_orient +
+     camera_translation on torso joints only;
+  2. body: + VPoser latent and betas, full-body robust reprojection;
+  3. all: + hand PCA coefficients, all priors.
+
+Losses: Geman-McClure robust reprojection (confidence-weighted),
+VPoser latent L2, betas L2, hand-PCA L2.
+
+Output: [T, 75] canonical parameter vectors (fpv4d.models.params
+layout) with transl = 0 and the camera offset in camera_translation —
+the same convention the reference's body_gen pkls use downstream
+(vis.py:305-361 renders with camera at camera_translation).
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from fpv4d.config import KeypointFitConfig
+from fpv4d.models import params as P
+from fpv4d.models import vposer as VP
+from fpv4d.models.smplx import SmplxModel
+
+# BODY_25 slot <- SMPL-X skeleton joint (-1 = no correspondence; ears,
+# heels and small toes have no skeleton joint and get weight 0).
+BODY25_FROM_SMPLX = np.array([
+    22,   # 0  nose        <- jaw (closest skeleton joint)
+    12,   # 1  neck
+    17,   # 2  RShoulder
+    19,   # 3  RElbow
+    21,   # 4  RWrist
+    16,   # 5  LShoulder
+    18,   # 6  LElbow
+    20,   # 7  LWrist
+    0,    # 8  MidHip      <- pelvis
+    2,    # 9  RHip
+    5,    # 10 RKnee
+    8,    # 11 RAnkle
+    1,    # 12 LHip
+    4,    # 13 LKnee
+    7,    # 14 LAnkle
+    24,   # 15 REye
+    23,   # 16 LEye
+    -1,   # 17 REar
+    -1,   # 18 LEar
+    10,   # 19 LBigToe     <- left_foot
+    -1,   # 20 LSmallToe
+    -1,   # 21 LHeel
+    11,   # 22 RBigToe     <- right_foot
+    -1,   # 23 RSmallToe
+    -1,   # 24 RHeel
+], dtype=np.int32)
+
+TORSO_BODY25 = np.array([1, 2, 5, 8, 9, 12], dtype=np.int32)
+
+
+class FitVars(NamedTuple):
+    """Per-frame decision variables."""
+    global_orient: jnp.ndarray     # [3]
+    camera_translation: jnp.ndarray  # [3]
+    betas: jnp.ndarray             # [10]
+    latent: jnp.ndarray            # [32] VPoser
+    left_hand: jnp.ndarray         # [12]
+    right_hand: jnp.ndarray        # [12]
+
+
+def gmof(x: jnp.ndarray, rho: float) -> jnp.ndarray:
+    """Geman-McClure robustifier rho^2 * d/(d + rho^2), d = x^2."""
+    d = x ** 2
+    return rho ** 2 * d / (d + rho ** 2)
+
+
+def gmof_sq(d: jnp.ndarray, rho: float) -> jnp.ndarray:
+    """gmof on an already-squared residual (grad-safe at 0: no sqrt)."""
+    return rho ** 2 * d / (d + rho ** 2)
+
+
+def project(points_cam: jnp.ndarray, focal: float,
+            center: jnp.ndarray) -> jnp.ndarray:
+    """Perspective projection [..., 3] -> [..., 2] pixels."""
+    z = jnp.maximum(points_cam[..., 2:3], 1e-4)
+    return focal * points_cam[..., :2] / z + center
+
+
+def _stage_mask(camera=False, body=False, hands=False) -> FitVars:
+    return FitVars(global_orient=float(camera),
+                   camera_translation=float(camera),
+                   betas=float(body), latent=float(body),
+                   left_hand=float(hands), right_hand=float(hands))
+
+
+def init_camera_translation(keypoints: jnp.ndarray, rest_joints: jnp.ndarray,
+                            focal: float) -> jnp.ndarray:
+    """Depth-from-torso init: z ~= focal * torso_height_3d /
+    torso_height_2d (the standard SMPLify(-X) camera bootstrap).
+    keypoints [T, 25, 3]; rest_joints [55, 3] of the rest body."""
+    smplx_ids = BODY25_FROM_SMPLX[TORSO_BODY25]
+    torso3d = rest_joints[smplx_ids]
+    h3d = jnp.linalg.norm(torso3d.max(0) - torso3d.min(0))
+    torso2d = keypoints[:, TORSO_BODY25, :2]
+    conf = keypoints[:, TORSO_BODY25, 2:3]
+    span = (torso2d * (conf > 0)).max(1) - (torso2d * (conf > 0)).min(1)
+    h2d = jnp.maximum(jnp.linalg.norm(span, axis=-1), 1.0)
+    z = focal * h3d / h2d
+    return jnp.stack([jnp.zeros_like(z), jnp.zeros_like(z), z], axis=-1)
+
+
+def fit_keypoints(model: SmplxModel, vposer_params: Dict[str, jnp.ndarray],
+                  keypoints: jnp.ndarray,
+                  config: KeypointFitConfig = KeypointFitConfig()
+                  ) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
+    """Fit SMPL-X to OpenPose keypoints for a whole clip at once.
+
+    keypoints [T, 25, 3] (x, y, confidence) BODY_25 pixels.
+    Returns ([T, 75] canonical params, history dict).
+    """
+    T = keypoints.shape[0]
+    keypoints = jnp.asarray(keypoints, dtype=jnp.float32)
+    center = jnp.asarray([config.image_size[0] / 2.0,
+                          config.image_size[1] / 2.0], dtype=jnp.float32)
+    focal = config.focal_length
+
+    valid = BODY25_FROM_SMPLX >= 0
+    smplx_ids = jnp.asarray(np.where(valid, BODY25_FROM_SMPLX, 0))
+    base_w = jnp.asarray(valid.astype(np.float32))
+    torso_only = jnp.zeros(25).at[jnp.asarray(TORSO_BODY25)].set(1.0) \
+        * base_w
+
+    rest = model(betas=jnp.zeros((1, model.num_betas)),
+                 global_orient=jnp.zeros((1, 3)),
+                 body_pose=jnp.zeros((1, 63)))
+    cam_t0 = init_camera_translation(keypoints, rest["joints"][0], focal)
+
+    vars0 = FitVars(
+        global_orient=jnp.zeros((T, 3)),
+        camera_translation=cam_t0,
+        betas=jnp.zeros((T, model.num_betas)),
+        latent=jnp.zeros((T, 32)),
+        left_hand=jnp.zeros((T, model.num_pca)),
+        right_hand=jnp.zeros((T, model.num_pca)),
+    )
+
+    def reproj_loss(v: FitVars, joint_w: jnp.ndarray) -> jnp.ndarray:
+        pose63 = VP.decode(vposer_params, v.latent)
+        out = model(betas=v.betas, global_orient=v.global_orient,
+                    body_pose=pose63, left_hand_pose=v.left_hand,
+                    right_hand_pose=v.right_hand)
+        j_cam = out["joints"] + v.camera_translation[:, None, :]
+        j2d = project(jnp.take(j_cam, smplx_ids, axis=1), focal, center)
+        resid_sq = jnp.sum((j2d - keypoints[..., :2]) ** 2, axis=-1)
+        conf = keypoints[..., 2]
+        w = conf * joint_w[None, :]
+        loss = jnp.sum(w * gmof_sq(resid_sq, config.gmof_rho)) \
+            / (jnp.sum(w) + 1e-6)
+        return loss
+
+    def total_loss(v: FitVars, joint_w: jnp.ndarray) -> jnp.ndarray:
+        return (config.weight_reproj * reproj_loss(v, joint_w)
+                + config.weight_vposer * jnp.mean(v.latent ** 2)
+                + config.weight_shape * jnp.mean(v.betas ** 2)
+                + config.weight_hand * (jnp.mean(v.left_hand ** 2)
+                                        + jnp.mean(v.right_hand ** 2)))
+
+    opt = optax.adam(config.lr)
+
+    @jax.jit
+    def run_stage(v, opt_state, joint_w, mask):
+        def step(carry, _):
+            v, opt_state = carry
+            loss, g = jax.value_and_grad(total_loss)(v, joint_w)
+            g = jax.tree.map(lambda gi, m: gi * m, g, mask)
+            updates, opt_state = opt.update(g, opt_state, v)
+            v = optax.apply_updates(v, updates)
+            return (v, opt_state), loss
+
+        (v, opt_state), hist = jax.lax.scan(step, (v, opt_state), None,
+                                            length=config.num_iter)
+        return v, opt_state, hist
+
+    v = vars0
+    opt_state = opt.init(v)
+    hist = {}
+    schedule = [
+        ("camera", torso_only, _stage_mask(camera=True)),
+        ("body", base_w, _stage_mask(camera=True, body=True)),
+        ("all", base_w, _stage_mask(camera=True, body=True, hands=True)),
+    ][: config.stages]
+    for name, joint_w, mask in schedule:
+        v, opt_state, h = run_stage(v, opt_state, joint_w, mask)
+        hist[name] = np.asarray(h)
+
+    out = jnp.concatenate([
+        jnp.zeros((T, 3)),                 # transl (camera holds offset)
+        v.global_orient, v.betas, v.latent, v.left_hand, v.right_hand,
+        v.camera_translation], axis=-1)
+    return np.asarray(out), hist

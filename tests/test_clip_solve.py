@@ -1,0 +1,124 @@
+"""Integration tests of the clip-level joint solver on a synthetic
+30-frame-class scenario (SURVEY.md section 4 strategy)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fpv4d.config import ClipConfig
+from fpv4d.solve.clip_solve import ClipSolver, ClipState
+from tests.helpers import make_scenario
+
+
+@pytest.fixture(scope="module")
+def scenario():
+    return make_scenario(T=12, num_verts=256, seed=0)
+
+
+@pytest.fixture(scope="module")
+def solver(scenario):
+    cfg = ClipConfig(num_iter=10, num_iter_dct=20, window=6,
+                     num_dct_joints=23, dct_num=3)
+    s = scenario
+    return ClipSolver(model=s["model"], vposer_params=s["vp"],
+                      scene_verts=s["scene"], contact_vids=s["vids"],
+                      contact_vids_left=s["vids_l"],
+                      contact_vids_right=s["vids_r"],
+                      config=cfg, use_pallas=False)
+
+
+def test_init_state_shapes_and_outliers(solver, scenario):
+    body = np.asarray(scenario["body"]).copy()
+    # corrupt frame 5 with a huge vposer latent -> must be flagged
+    body[5, 16:48] = 20.0
+    state, target, w = solver.init_state(jnp.asarray(body),
+                                         scenario["camera_ext"])
+    assert state.body_6d.shape == (12, 78)
+    assert state.camera_ext.shape == (12, 4, 4)
+    assert state.c_dct.shape == (2, 23, 3, 3)
+    assert float(state.scale) == pytest.approx(1.8)
+    w = np.asarray(w)
+    assert w[5] == 0.0 and w.sum() == 11
+    # outlier frame re-seeded from a neighbor, not from itself
+    b6 = np.asarray(state.body_6d)
+    t6 = np.asarray(target)
+    assert not np.allclose(b6[5], t6[5])
+    assert np.allclose(b6[4], t6[4])
+
+
+def test_terms_finite(solver, scenario):
+    state, target, w = solver.init_state(scenario["body"],
+                                         scenario["camera_ext"])
+    t = solver.terms(state, target, w)
+    for name, val in t._asdict().items():
+        assert np.isfinite(float(val)), name
+
+
+def test_local_mode_improves(solver, scenario):
+    state, target, w = solver.init_state(scenario["body"],
+                                         scenario["camera_ext"])
+    t0 = solver.terms(state, target, w)
+    loss0 = float(t0.contact * 0.2 + t0.smooth + t0.rec)
+    final, hist = solver.fit(scenario["body"], scenario["camera_ext"],
+                             mode="local")
+    assert set(hist) == {"local_a", "local_b", "local_skate"}
+    assert hist["local_a"].shape == (8,)      # 0.8 * 10
+    assert hist["local_b"].shape == (2,)
+    assert hist["local_skate"].shape == (4,)  # 0.4 * 10
+    assert np.all(np.isfinite(hist["local_a"]))
+    assert hist["local_a"][-1] < loss0 + 1e-6
+    body, scale, cam = solver.result_params(final)
+    assert body.shape == (12, 75)
+    assert np.isfinite(scale)
+    assert cam.shape == (12, 4, 4)
+
+
+def test_global_mode_runs(solver, scenario):
+    final, hist = solver.fit(scenario["body"], scenario["camera_ext"],
+                             mode="global")
+    assert set(hist) == {"global_a", "global_b"}
+    for h in hist.values():
+        assert np.all(np.isfinite(h))
+    assert hist["global_a"][-1] <= hist["global_a"][0]
+
+
+def test_dct_mode_fits_coefficients(solver, scenario):
+    final, hist = solver.fit(scenario["body"], scenario["camera_ext"],
+                             mode="dct")
+    assert set(hist) == {"dct_a", "dct_b"}
+    # DCT phase must drive the trajectory-prior loss down
+    assert hist["dct_a"][-1] < hist["dct_a"][0]
+    assert float(jnp.abs(final.c_dct).max()) > 0.0
+
+
+def test_stage_masks_freeze_variables(solver, scenario):
+    # in dct_a only c_dct may move
+    state, target, w = solver.init_state(scenario["body"],
+                                         scenario["camera_ext"])
+    opt_state = solver._opt.init(state)
+    new_state, _, _ = solver._run_phase(state, opt_state, target, w,
+                                        3, "dct_a")
+    assert np.allclose(np.asarray(new_state.body_6d),
+                       np.asarray(state.body_6d))
+    assert float(new_state.scale) == float(state.scale)
+    assert np.allclose(np.asarray(new_state.camera_ext),
+                       np.asarray(state.camera_ext))
+    assert not np.allclose(np.asarray(new_state.c_dct),
+                           np.asarray(state.c_dct))
+    # in local_a, camera is frozen but body and scale move
+    new_state, _, _ = solver._run_phase(state, opt_state, target, w,
+                                        3, "local_a")
+    assert np.allclose(np.asarray(new_state.camera_ext),
+                       np.asarray(state.camera_ext))
+    assert not np.allclose(np.asarray(new_state.body_6d),
+                           np.asarray(state.body_6d))
+    assert float(new_state.scale) != float(state.scale)
+
+
+def test_detect_contact_weights(solver, scenario):
+    state, _, _ = solver.init_state(scenario["body"],
+                                    scenario["camera_ext"])
+    w = np.asarray(solver.detect_contact(state))
+    assert w.shape == (12,)
+    assert np.all((w >= 0) & (w <= 1))
+    # weights must not be the constant 0.5 of the reference's bug
+    assert np.abs(w - 0.5).max() > 1e-6

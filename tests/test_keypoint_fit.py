@@ -1,0 +1,80 @@
+"""Keypoint (SMPLify-X style) fitting: recover synthetic ground truth
+from its own 2D projections."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fpv4d.config import KeypointFitConfig
+from fpv4d.models import vposer as VP
+from fpv4d.models import smplx as jsmplx
+from fpv4d.solve import keypoint_fit as KF
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = jsmplx.synthetic_model(num_verts=256, seed=3)
+    vp = VP.random_params(seed=3)
+    rng = np.random.RandomState(4)
+    T = 4
+    gt = dict(
+        global_orient=jnp.asarray(rng.randn(T, 3) * 0.1, jnp.float32),
+        latent=jnp.asarray(rng.randn(T, 32) * 0.3, jnp.float32),
+        betas=jnp.asarray(np.tile(rng.randn(1, 10) * 0.2, (T, 1)),
+                          jnp.float32),
+        cam_t=jnp.asarray(
+            np.stack([rng.randn(T) * 0.1, rng.randn(T) * 0.1,
+                      3.0 + rng.rand(T)], axis=1), jnp.float32),
+    )
+    cfg = KeypointFitConfig(num_iter=80, lr=0.02)
+    pose63 = VP.decode(vp, gt["latent"])
+    out = model(betas=gt["betas"], global_orient=gt["global_orient"],
+                body_pose=pose63)
+    j_cam = out["joints"] + gt["cam_t"][:, None, :]
+    center = jnp.asarray([cfg.image_size[0] / 2, cfg.image_size[1] / 2])
+    valid = KF.BODY25_FROM_SMPLX >= 0
+    ids = np.where(valid, KF.BODY25_FROM_SMPLX, 0)
+    j2d = KF.project(jnp.take(j_cam, jnp.asarray(ids), axis=1),
+                     cfg.focal_length, center)
+    kp = np.concatenate(
+        [np.asarray(j2d), np.tile(valid.astype(np.float32)[None, :, None],
+                                  (T, 1, 1))], axis=-1)
+    return dict(model=model, vp=vp, gt=gt, kp=kp, cfg=cfg)
+
+
+def test_fit_reduces_reprojection(setup):
+    params, hist = KF.fit_keypoints(setup["model"], setup["vp"],
+                                    setup["kp"], setup["cfg"])
+    assert params.shape == (4, 75)
+    assert set(hist) == {"camera", "body", "all"}
+    # robust reprojection must drop substantially across the schedule
+    assert hist["all"][-1] < 0.3 * hist["camera"][0]
+    assert np.all(np.isfinite(params))
+
+
+def test_fit_recovers_depth(setup):
+    params, _ = KF.fit_keypoints(setup["model"], setup["vp"],
+                                 setup["kp"], setup["cfg"])
+    cam_t = params[:, 72:75]
+    gt_z = np.asarray(setup["gt"]["cam_t"])[:, 2]
+    # depth recovered within ~15% (monocular scale ambiguity bounded
+    # here because betas are optimized from the right prior mean)
+    assert np.all(np.abs(cam_t[:, 2] - gt_z) / gt_z < 0.15)
+
+
+def test_camera_init_sane(setup):
+    model = setup["model"]
+    rest = model(betas=jnp.zeros((1, 10)), global_orient=jnp.zeros((1, 3)),
+                 body_pose=jnp.zeros((1, 63)))
+    t = KF.init_camera_translation(jnp.asarray(setup["kp"]),
+                                   rest["joints"][0],
+                                   setup["cfg"].focal_length)
+    z = np.asarray(t)[:, 2]
+    assert np.all(z > 0.5) and np.all(z < 50.0)
+
+
+def test_gmof_robustifier():
+    x = jnp.asarray([0.0, 1.0, 1e6])
+    out = np.asarray(KF.gmof(x, rho=100.0))
+    assert out[0] == 0.0
+    assert out[1] == pytest.approx(100.0 ** 2 / (1 + 100.0 ** 2), rel=1e-5)
+    assert out[2] <= 100.0 ** 2 + 1e-3   # saturates at rho^2

@@ -135,3 +135,13 @@ def test_rotations_jit_and_grad():
     jitted = jax.jit(R.params_to_3d)
     x = jnp.asarray(np.random.RandomState(0).randn(3, 78), dtype=jnp.float32)
     assert jitted(x).shape == (3, 75)
+
+
+def test_grad_finite_at_identity():
+    # regression: 0/0 NaN leak through where() at theta=0
+    g = jax.grad(lambda a: jnp.sum(R.matrot_to_aa(R.aa_to_matrot(a)) ** 2))(
+        jnp.zeros((2, 3)))
+    assert np.all(np.isfinite(np.asarray(g)))
+    g2 = jax.grad(lambda r6: jnp.sum(R.rot6d_to_aa(r6) ** 2))(
+        R.aa_to_rot6d(jnp.zeros((2, 3))))
+    assert np.all(np.isfinite(np.asarray(g2)))
