@@ -92,12 +92,16 @@ class ClipSolver:
 
     # -- geometry ------------------------------------------------------------
 
-    def _nn(self, pts: jnp.ndarray) -> jnp.ndarray:
-        """[T, N, 3] vs scene -> squared NN distance [T, N]."""
+    def _nn(self, pts: jnp.ndarray,
+            scene: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """[T, N, 3] vs scene -> squared NN distance [T, N]. A scene
+        override supports the vmapped multi-clip path (each clip has
+        its own COLMAP cloud)."""
+        scene = self.scene_verts if scene is None else scene
         if self.use_pallas:
-            d, _ = nn_distance(pts, self.scene_verts)
+            d, _ = nn_distance(pts, scene)
         else:
-            d, _ = nn_distance_ref(pts, self.scene_verts[None])
+            d, _ = nn_distance_ref(pts, scene[None])
         return d
 
     def forward_world(self, state: ClipState
@@ -129,14 +133,15 @@ class ClipSolver:
     # -- objectives ----------------------------------------------------------
 
     def terms(self, state: ClipState, target_6d: jnp.ndarray,
-              frame_weights: jnp.ndarray) -> Terms:
+              frame_weights: jnp.ndarray,
+              scene: Optional[jnp.ndarray] = None) -> Terms:
         """All six cal_loss terms (global_optimization.py:249-312)."""
         w = self.config.weights
         verts_w, joints_w, aux = self.forward_world(state)
         rec = w.rec * losses.rec_l1(target_6d, state.body_6d, frame_weights)
         vposer = w.vposer * losses.vposer_prior(aux["latent"])
         smooth = losses.second_order_smoothness(state.body_6d)
-        contact_d = self._nn(verts_w[:, self.contact_vids])
+        contact_d = self._nn(verts_w[:, self.contact_vids], scene)
         contact = w.contact * losses.robust_contact(contact_d)
         world_smooth = losses.first_order_smoothness(joints_w)
         dct = losses.dct_trajectory(joints_w, state.c_dct,
