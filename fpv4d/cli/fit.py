@@ -1,0 +1,60 @@
+"""Fit-from-keypoints CLI — the SMPLify-X stage owned natively
+(pipeline step 3, reference README.md:14-17: external smplifyx/main.py
+with --focal_length 694).
+
+    python -m fpv4d.cli.fit KEYPOINTS_DIR OUT_DIR \
+        [--focal 694] [--width 1280 --height 720] [--iters 120]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("keypoints_dir", help="OpenPose JSON folder")
+    p.add_argument("out_dir", help="output dir for body_gen pkls")
+    p.add_argument("--focal", type=float, default=694.0)
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--height", type=int, default=720)
+    p.add_argument("--iters", type=int, default=120)
+    p.add_argument("--model", default="./models")
+    p.add_argument("--vposer", default="./vposer")
+    return p
+
+
+def main(argv=None) -> int:
+    from fpv4d.cli import common
+    args = build_parser().parse_args(argv)
+    from fpv4d.config import KeypointFitConfig
+    from fpv4d.io import body_pkl, keypoints
+    from fpv4d.solve.keypoint_fit import fit_keypoints
+
+    kp = keypoints.load_clip_keypoints(args.keypoints_dir)
+    if kp.shape[0] == 0:
+        print(f"[fpv4d.fit] no keypoint JSONs in {args.keypoints_dir}",
+              file=sys.stderr)
+        return 1
+    print(f"[fpv4d.fit] {kp.shape[0]} frames of keypoints",
+          file=sys.stderr)
+
+    model = common.load_model(args.model)
+    vp = common.load_vposer(args.vposer)
+    cfg = KeypointFitConfig(focal_length=args.focal,
+                            image_size=(args.width, args.height),
+                            num_iter=args.iters)
+    params, hist = fit_keypoints(model, vp, kp, cfg)
+    for name, h in hist.items():
+        print(f"[fpv4d.fit] stage {name}: {h[0]:.2f} -> {h[-1]:.2f}",
+              file=sys.stderr)
+    paths = body_pkl.save_clip(args.out_dir, params)
+    print(f"[fpv4d.fit] wrote {len(paths)} pkls to {args.out_dir}",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
