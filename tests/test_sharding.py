@@ -1,0 +1,120 @@
+"""Multi-device sharding tests on the 8-virtual-CPU-device mesh
+(conftest sets xla_force_host_platform_device_count=8)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fpv4d.config import ClipConfig
+from fpv4d.parallel import sharding as SH
+from fpv4d.parallel.multi_clip import MultiClipSolver, pad_scenes
+from fpv4d.solve.clip_solve import ClipSolver
+from tests.helpers import make_scenario
+
+
+@pytest.fixture(scope="module")
+def setup():
+    s = make_scenario(T=8, num_verts=128, seed=2)
+    cfg = ClipConfig(num_iter=4, window=4, dct_num=2)
+    solver = ClipSolver(model=s["model"], vposer_params=s["vp"],
+                        scene_verts=s["scene"], contact_vids=s["vids"],
+                        contact_vids_left=s["vids_l"],
+                        contact_vids_right=s["vids_r"],
+                        config=cfg, use_pallas=False)
+    return s, solver
+
+
+def test_device_count():
+    assert len(jax.devices()) == 8
+
+
+def test_make_mesh_2d():
+    mesh = SH.make_mesh({"clips": 2, "frames": 4})
+    assert mesh.axis_names == ("clips", "frames")
+    assert mesh.devices.shape == (2, 4)
+    with pytest.raises(ValueError):
+        SH.make_mesh({"clips": 16})
+
+
+def _batch(s, C, T):
+    rng = np.random.RandomState(0)
+    bodies = jnp.asarray(np.tile(np.asarray(s["body"])[None, :T], (C, 1, 1))
+                         + rng.randn(C, T, 75).astype(np.float32) * 0.01)
+    cams = jnp.asarray(np.tile(np.asarray(s["camera_ext"])[None, :T],
+                               (C, 1, 1, 1)))
+    scenes = pad_scenes([np.asarray(s["scene"])] * C)
+    return bodies, cams, scenes
+
+
+def test_sharded_step_matches_unsharded(setup):
+    s, solver = setup
+    C, T = 4, 8
+    bodies, cams, scenes = _batch(s, C, T)
+    mesh = SH.make_mesh({"clips": 2, "frames": 4})
+    mc = MultiClipSolver(solver=solver, mesh=mesh)
+    state_b, target_b, weights_b = mc.init_batch(bodies, cams)
+
+    # sharded one step
+    sb, tb, wb, scb = SH.shard_batch(mesh, state_b, target_b, weights_b,
+                                     jnp.asarray(scenes))
+    step_fn, init_fn = SH.build_sharded_step(solver, mesh, "local_a")
+    opt_state = init_fn(sb)
+    sb1, _, per_clip = step_fn(sb, opt_state, tb, wb, scb)
+    per_clip = np.asarray(per_clip)
+    assert per_clip.shape == (C,)
+    assert np.all(np.isfinite(per_clip))
+
+    # per-clip losses must match the single-clip solver's loss exactly
+    for c in range(C):
+        state_c, target_c, w_c = solver.init_state(bodies[c], cams[c])
+        t = solver.terms(state_c, target_c, w_c)
+        expected = float(t.contact * solver.config.local_contact_mult
+                         + t.smooth + t.rec)
+        assert per_clip[c] == pytest.approx(expected, rel=1e-4)
+
+
+def test_frame_axis_sharding_changes_nothing(setup):
+    s, solver = setup
+    C, T = 2, 8
+    bodies, cams, scenes = _batch(s, C, T)
+    results = []
+    for axes, frame_axis in (({"clips": 2}, None),
+                             ({"clips": 2, "frames": 4}, "frames")):
+        mesh = SH.make_mesh(axes)
+        mc = MultiClipSolver(solver=solver, mesh=mesh,
+                             frame_axis=frame_axis)
+        state_b, target_b, weights_b = mc.init_batch(bodies, cams)
+        sb, tb, wb, scb = SH.shard_batch(mesh, state_b, target_b,
+                                         weights_b, jnp.asarray(scenes),
+                                         frame_axis=frame_axis)
+        step_fn, init_fn = SH.build_sharded_step(solver, mesh, "local_a",
+                                                 frame_axis=frame_axis)
+        opt_state = init_fn(sb)
+        sb1, _, per_clip = step_fn(sb, opt_state, tb, wb, scb)
+        results.append(np.asarray(sb1.body_6d))
+    np.testing.assert_allclose(results[0], results[1], atol=1e-5)
+
+
+def test_multi_clip_fit_runs(setup):
+    s, solver = setup
+    C, T = 2, 8
+    bodies, cams, scenes = _batch(s, C, T)
+    mesh = SH.make_mesh({"clips": 2})
+    mc = MultiClipSolver(solver=solver, mesh=mesh, frame_axis=None)
+    state_b, hist = mc.fit(bodies, cams, jnp.asarray(scenes),
+                           mode="global")
+    assert set(hist) == {"global_a", "global_b"}
+    assert hist["global_a"].shape[1] == C
+    results = mc.result_params(state_b)
+    assert len(results) == C
+    body0, scale0, cam0 = results[0]
+    assert body0.shape == (T, 75)
+    assert np.isfinite(scale0)
+
+
+def test_pad_scenes_far_points():
+    a = np.zeros((5, 3), np.float32)
+    b = np.ones((3, 3), np.float32)
+    out = pad_scenes([a, b])
+    assert out.shape == (2, 5, 3)
+    assert np.all(out[1, 3:] == 1e6)
