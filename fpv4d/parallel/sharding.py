@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from fpv4d.solve.clip_solve import ClipSolver, ClipState, _grad_mask
+from fpv4d.solve.clip_solve import ClipSolver, ClipState, Ctx
 
 
 def make_mesh(axes: Dict[str, int],
@@ -88,57 +88,43 @@ def build_sharded_step(solver: ClipSolver, mesh: Mesh, phase: str = "local_a",
     """
     sh = clip_batch_shardings(mesh, clip_axis, frame_axis)
     opt = solver._opt
+    mask = solver.phase_mask(phase)
 
-    def one_clip_loss(state, target, weights, scene):
-        # same stage recipes as ClipSolver._phase_def, with the
-        # per-clip scene threaded explicitly
-        t = solver.terms(state, target, weights, scene)
-        cfg = solver.config
-        if phase == "local_a":
-            return t.contact * cfg.local_contact_mult + t.smooth + t.rec
-        if phase == "global_a":
-            return t.contact * cfg.global_contact_mult + t.smooth + t.rec
-        if phase in ("local_b",):
-            return t.rec + t.smooth * cfg.phase_b_smooth_mult
-        if phase == "global_b":
-            return t.rec + t.world_smooth + t.smooth \
-                * cfg.phase_b_smooth_mult
-        if phase == "dct_a":
-            return t.dct * cfg.dct_mult
-        if phase == "dct_b":
-            return t.dct * 1e-4 + t.rec * 0.5 + t.contact * 0.1
-        raise ValueError(phase)
+    def one_clip_loss(ctx, state, target, weights):
+        # same stage recipes as the single-clip solver; the per-clip
+        # scene rides in ctx.scene (vmapped axis), the shared model
+        # tables are broadcast (in_axes=None leaves)
+        return solver.phase_loss(phase, state, target, weights, ctx)
 
-    mask = {
-        "local_a": _grad_mask(body=True, scale=True),
-        "local_b": _grad_mask(body=True, camera=True),
-        "global_a": _grad_mask(body=True, scale=True),
-        "global_b": _grad_mask(body=True, camera=True),
-        "dct_a": _grad_mask(dct=True),
-        "dct_b": _grad_mask(body=True, scale=True),
-    }[phase]
+    def batched_loss(ctx_base, scene_b, state_b, target_b, weights_b):
+        def per_clip(scene, state, target, weights):
+            ctx = Ctx(model=ctx_base.model, vposer=ctx_base.vposer,
+                      scene=scene)
+            return one_clip_loss(ctx, state, target, weights)
 
-    def batched_loss(state_b, target_b, weights_b, scene_b):
-        losses = jax.vmap(one_clip_loss)(state_b, target_b, weights_b,
-                                         scene_b)
+        losses = jax.vmap(per_clip)(scene_b, state_b, target_b, weights_b)
         return jnp.sum(losses), losses
 
-    def step(state_b, opt_state, target_b, weights_b, scene_b):
+    def step(ctx_base, scene_b, state_b, opt_state, target_b, weights_b):
         (_, per_clip), grads = jax.value_and_grad(
-            batched_loss, has_aux=True)(state_b, target_b, weights_b,
-                                        scene_b)
+            batched_loss, argnums=2, has_aux=True)(
+                ctx_base, scene_b, state_b, target_b, weights_b)
         grads = jax.tree.map(lambda g, m: g * m, grads, mask)
         updates, opt_state = opt.update(grads, opt_state, state_b)
         state_b = optax.apply_updates(state_b, updates)
         return state_b, opt_state, per_clip
 
-    step_fn = jax.jit(
+    jitted = jax.jit(
         step,
-        in_shardings=(sh["state"], None, sh["target"], sh["weights"],
-                      sh["scene"]),
-        out_shardings=(sh["state"], None, NamedSharding(mesh,
-                                                        P(clip_axis))),
+        in_shardings=(sh["replicated"], sh["scene"], sh["state"], None,
+                      sh["target"], sh["weights"]),
+        out_shardings=(sh["state"], None,
+                       NamedSharding(mesh, P(clip_axis))),
     )
+
+    def step_fn(state_b, opt_state, target_b, weights_b, scene_b):
+        return jitted(solver.ctx, scene_b, state_b, opt_state, target_b,
+                      weights_b)
 
     def init_fn(state_b):
         return opt.init(state_b)

@@ -16,6 +16,10 @@ TPU-first design vs the reference:
     to *static* per-phase gradient masks (stage boundaries are known
     at trace time, so each phase is its own compiled program and the
     Adam moments persist across phases);
+  * model tables and the scene cloud are threaded through the jit
+    boundary as a `Ctx` pytree argument — NOT closure constants —
+    so megabytes of blendshape/scene data never get baked into the
+    compiled program as literals (a compile-time killer on TPU);
   * the scene cloud is shared, not replicated per frame (:175-176);
   * contact distances run through the Pallas NN kernel on TPU (plain
     XLA fallback elsewhere).
@@ -44,6 +48,14 @@ from fpv4d.ops.chamfer_pallas import nn_distance
 from fpv4d.ops.chamfer_ref import nn_distance_ref
 
 
+class Ctx(NamedTuple):
+    """Traced context: everything large the objective reads. Passed as
+    an argument through every jit boundary (never closed over)."""
+    model: SmplxModel
+    vposer: Dict[str, jnp.ndarray]
+    scene: jnp.ndarray            # [M, 3]
+
+
 class ClipState(NamedTuple):
     """Decision variables (a pytree; one leaf per reference Variable,
     global_optimization.py:179-186)."""
@@ -70,6 +82,31 @@ def _grad_mask(body=False, scale=False, camera=False, dct=False):
                      camera_ext=float(camera), c_dct=float(dct))
 
 
+def forward_world(ctx: Ctx, state: ClipState
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
+    """body_6d -> world-space vertices [T,V,3] and joints [T,23,3].
+
+    Pipeline of cal_loss (global_optimization.py:261-299): decode 6D ->
+    75-d, VPoser decode the 32-d latent, SMPL-X forward, scale
+    vertices, rigid-transform by camera_ext @ pivot. Joints are
+    transformed UNscaled, exactly like the reference (:298-299 applies
+    verts_transform without the *scale it gives verts)."""
+    body = rotations.params_to_3d(state.body_6d)        # [T, 75]
+    d = P.split(body)
+    pose63 = VP.decode(ctx.vposer, d["body_pose"])
+    out = ctx.model(
+        betas=d["betas"], global_orient=d["global_orient"],
+        body_pose=pose63, transl=d["transl"],
+        left_hand_pose=d["left_hand_pose"],
+        right_hand_pose=d["right_hand_pose"])
+    b2w = transforms.body2world(state.camera_ext,
+                                d["camera_translation"], state.scale)
+    verts_w = transforms.transform_points(
+        out["vertices"] * state.scale, b2w)
+    joints_w = transforms.transform_points(out["joints"][:, :23], b2w)
+    return verts_w, joints_w, {"body_75": body, "latent": d["body_pose"]}
+
+
 @dataclass
 class ClipSolver:
     """Owns the models + scene and exposes fit()/save-ready outputs."""
@@ -86,62 +123,38 @@ class ClipSolver:
         if self.use_pallas is None:
             self.use_pallas = jax.default_backend() == "tpu"
         self._opt = optax.adam(self.config.lr)
-        # jitted phase programs, keyed by (phase, num_steps); model and
-        # scene arrays are closure constants of each program
+        # jitted phase programs, keyed by (phase, num_steps); large
+        # arrays ride through the Ctx argument, never as constants
         self._compiled = {}
+
+    @property
+    def ctx(self) -> Ctx:
+        return Ctx(model=self.model, vposer=self.vposer_params,
+                   scene=self.scene_verts)
 
     # -- geometry ------------------------------------------------------------
 
-    def _nn(self, pts: jnp.ndarray,
-            scene: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        """[T, N, 3] vs scene -> squared NN distance [T, N]. A scene
-        override supports the vmapped multi-clip path (each clip has
-        its own COLMAP cloud)."""
-        scene = self.scene_verts if scene is None else scene
+    def _nn(self, pts: jnp.ndarray, scene: jnp.ndarray) -> jnp.ndarray:
+        """[T, N, 3] vs scene [M, 3] -> squared NN distance [T, N]."""
         if self.use_pallas:
             d, _ = nn_distance(pts, scene)
         else:
             d, _ = nn_distance_ref(pts, scene[None])
         return d
 
-    def forward_world(self, state: ClipState
-                      ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
-        """body_6d -> world-space vertices [T,V,3] and joints [T,23,3].
-
-        Pipeline of cal_loss (global_optimization.py:261-299): decode
-        6D -> 75-d, VPoser decode the 32-d latent, SMPL-X forward,
-        scale vertices, rigid-transform by camera_ext @ pivot. Joints
-        are transformed UNscaled, exactly like the reference (:298-299
-        applies verts_transform without the *scale it gives verts).
-        """
-        body = rotations.params_to_3d(state.body_6d)        # [T, 75]
-        d = P.split(body)
-        pose63 = VP.decode(self.vposer_params, d["body_pose"])
-        out = self.model(
-            betas=d["betas"], global_orient=d["global_orient"],
-            body_pose=pose63, transl=d["transl"],
-            left_hand_pose=d["left_hand_pose"],
-            right_hand_pose=d["right_hand_pose"])
-        b2w = transforms.body2world(state.camera_ext,
-                                    d["camera_translation"], state.scale)
-        verts_w = transforms.transform_points(
-            out["vertices"] * state.scale, b2w)
-        joints_w = transforms.transform_points(out["joints"][:, :23], b2w)
-        return verts_w, joints_w, {"body_75": body,
-                                   "latent": d["body_pose"]}
-
     # -- objectives ----------------------------------------------------------
 
     def terms(self, state: ClipState, target_6d: jnp.ndarray,
               frame_weights: jnp.ndarray,
-              scene: Optional[jnp.ndarray] = None) -> Terms:
+              ctx: Optional[Ctx] = None) -> Terms:
         """All six cal_loss terms (global_optimization.py:249-312)."""
+        ctx = self.ctx if ctx is None else ctx
         w = self.config.weights
-        verts_w, joints_w, aux = self.forward_world(state)
+        verts_w, joints_w, aux = forward_world(ctx, state)
         rec = w.rec * losses.rec_l1(target_6d, state.body_6d, frame_weights)
         vposer = w.vposer * losses.vposer_prior(aux["latent"])
         smooth = losses.second_order_smoothness(state.body_6d)
-        contact_d = self._nn(verts_w[:, self.contact_vids], scene)
+        contact_d = self._nn(verts_w[:, self.contact_vids], ctx.scene)
         contact = w.contact * losses.robust_contact(contact_d)
         world_smooth = losses.first_order_smoothness(joints_w)
         dct = losses.dct_trajectory(joints_w, state.c_dct,
@@ -149,12 +162,13 @@ class ClipSolver:
         return Terms(rec, vposer, contact, smooth, world_smooth, dct)
 
     def terms2(self, state: ClipState, target_6d: jnp.ndarray,
-               frame_weights: jnp.ndarray,
-               weight_right: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+               frame_weights: jnp.ndarray, weight_right: jnp.ndarray,
+               ctx: Optional[Ctx] = None) -> Tuple[jnp.ndarray, ...]:
         """cal_loss2: anti-foot-skate phase terms
         (global_optimization.py:368-447)."""
+        ctx = self.ctx if ctx is None else ctx
         w = self.config.weights
-        verts_w, _, _ = self.forward_world(state)
+        verts_w, _, _ = forward_world(ctx, state)
         rec = w.rec * losses.rec_l1(target_6d, state.body_6d, frame_weights)
         local_smooth = losses.second_order_smoothness(state.body_6d)
         vert_smooth = losses.second_order_smoothness(verts_w)
@@ -167,13 +181,20 @@ class ClipSolver:
         """Per-frame planted-foot weight (detect_contact,
         global_optimization.py:315-365, with the intended
         left/(left+right) formula — see losses.planted_foot_weight)."""
-        verts_w, _, _ = self.forward_world(state)
-        d_left = jnp.mean(self._nn(verts_w[:, self.contact_vids_left]),
-                          axis=1)
-        d_right = jnp.mean(self._nn(verts_w[:, self.contact_vids_right]),
-                           axis=1)
+        if "detect_contact" not in self._compiled:
+
+            @jax.jit
+            def run(ctx, state):
+                verts_w, _, _ = forward_world(ctx, state)
+                d_l = jnp.mean(self._nn(
+                    verts_w[:, self.contact_vids_left], ctx.scene), axis=1)
+                d_r = jnp.mean(self._nn(
+                    verts_w[:, self.contact_vids_right], ctx.scene), axis=1)
+                return losses.planted_foot_weight(d_l, d_r)
+
+            self._compiled["detect_contact"] = run
         return jax.lax.stop_gradient(
-            losses.planted_foot_weight(d_left, d_right))
+            self._compiled["detect_contact"](self.ctx, state))
 
     # -- init ----------------------------------------------------------------
 
@@ -186,8 +207,7 @@ class ClipSolver:
         are treated as wrong upstream detections: their reconstruction
         weight is zeroed and their initialization is replaced by the
         nearest non-outlier frame. Returns (state, target_6d,
-        frame_weights).
-        """
+        frame_weights)."""
         cfg = self.config
         T = body_75.shape[0]
         body_6d = rotations.params_to_6d(body_75)
@@ -217,18 +237,52 @@ class ClipSolver:
 
     # -- phase runner ----------------------------------------------------------
 
+    def phase_loss(self, phase: str, state: ClipState, target_6d,
+                   frame_weights, ctx: Optional[Ctx] = None) -> jnp.ndarray:
+        """Stage loss recipes — the static equivalents of the
+        reference's per-stage loss lines (global_optimization.py:
+        505-523 local, :564-582 global, :601-620 dct)."""
+        cfg = self.config
+        t = self.terms(state, target_6d, frame_weights, ctx)
+        if phase == "local_a":
+            return t.contact * cfg.local_contact_mult + t.smooth + t.rec
+        if phase == "local_b":
+            return t.rec + t.smooth * cfg.phase_b_smooth_mult
+        if phase == "global_a":
+            return t.contact * cfg.global_contact_mult + t.smooth + t.rec
+        if phase == "global_b":
+            return t.rec + t.world_smooth + t.smooth \
+                * cfg.phase_b_smooth_mult
+        if phase == "dct_a":
+            return t.dct * cfg.dct_mult
+        if phase == "dct_b":
+            return t.dct * 1e-4 + t.rec * 0.5 + t.contact * 0.1
+        raise ValueError(f"unknown phase {phase}")
+
+    def phase_mask(self, phase: str) -> ClipState:
+        return {
+            "local_a": _grad_mask(body=True, scale=True),
+            "local_b": _grad_mask(body=True, camera=True),
+            "global_a": _grad_mask(body=True, scale=True),
+            "global_b": _grad_mask(body=True, camera=True),
+            "dct_a": _grad_mask(dct=True),
+            "dct_b": _grad_mask(body=True, scale=True),
+        }[phase]
+
     def _run_phase(self, state, opt_state, target_6d, frame_weights,
                    num_steps: int, phase: str):
         """One optimization phase: `num_steps` Adam steps under a
-        static gradient mask and static loss weighting, as a single
-        jitted lax.scan (compiled once per (phase, num_steps))."""
+        static gradient mask, as a single jitted lax.scan (compiled
+        once per (phase, num_steps))."""
         key = (phase, num_steps)
         if key not in self._compiled:
+            mask = self.phase_mask(phase)
 
             @jax.jit
-            def run(state, opt_state, target_6d, frame_weights):
-                mask, loss_fn = self._phase_def(phase, target_6d,
-                                                frame_weights)
+            def run(ctx, state, opt_state, target_6d, frame_weights):
+                def loss_fn(state):
+                    return self.phase_loss(phase, state, target_6d,
+                                           frame_weights, ctx)
 
                 def step(carry, _):
                     state, opt_state = carry
@@ -244,45 +298,8 @@ class ClipSolver:
                 return state, opt_state, hist
 
             self._compiled[key] = run
-        return self._compiled[key](state, opt_state, target_6d,
+        return self._compiled[key](self.ctx, state, opt_state, target_6d,
                                    frame_weights)
-
-    def _phase_def(self, phase: str, target_6d, frame_weights):
-        """Map a phase name to (grad mask, scalar loss fn) — the
-        static equivalents of the reference's requires_grad flips and
-        stage loss recipes (global_optimization.py:505-523 local,
-        :564-582 global, :601-620 dct)."""
-        cfg = self.config
-
-        def T(state):
-            return self.terms(state, target_6d, frame_weights)
-
-        if phase == "local_a":       # body+scale: contact+smooth+rec
-            mask = _grad_mask(body=True, scale=True)
-            fn = lambda s: (lambda t: t.contact * cfg.local_contact_mult
-                            + t.smooth + t.rec)(T(s))
-        elif phase == "local_b":     # camera+body: rec + 0.5*smooth
-            mask = _grad_mask(body=True, camera=True)
-            fn = lambda s: (lambda t: t.rec + t.smooth
-                            * cfg.phase_b_smooth_mult)(T(s))
-        elif phase == "global_a":
-            mask = _grad_mask(body=True, scale=True)
-            fn = lambda s: (lambda t: t.contact * cfg.global_contact_mult
-                            + t.smooth + t.rec)(T(s))
-        elif phase == "global_b":    # adds world joint smoothing
-            mask = _grad_mask(body=True, camera=True)
-            fn = lambda s: (lambda t: t.rec + t.world_smooth + t.smooth
-                            * cfg.phase_b_smooth_mult)(T(s))
-        elif phase == "dct_a":       # DCT coefficients only
-            mask = _grad_mask(dct=True)
-            fn = lambda s: T(s).dct * cfg.dct_mult
-        elif phase == "dct_b":
-            mask = _grad_mask(body=True, scale=True)
-            fn = lambda s: (lambda t: t.dct * 1e-4 + t.rec * 0.5
-                            + t.contact * 0.1)(T(s))
-        else:
-            raise ValueError(f"unknown phase {phase}")
-        return mask, fn
 
     def _run_skate_phase(self, state, opt_state, target_6d, frame_weights,
                          num_steps: int, weight_right):
@@ -290,15 +307,14 @@ class ClipSolver:
         sequence only (global_optimization.py:536-556)."""
         key = ("skate", num_steps)
         if key not in self._compiled:
+            mask = _grad_mask(body=True)
 
             @jax.jit
-            def run(state, opt_state, target_6d, frame_weights,
+            def run(ctx, state, opt_state, target_6d, frame_weights,
                     weight_right):
-                mask = _grad_mask(body=True)
-
                 def loss_fn(state):
                     rec, local_s, vert_s, skate = self.terms2(
-                        state, target_6d, frame_weights, weight_right)
+                        state, target_6d, frame_weights, weight_right, ctx)
                     return vert_s + local_s + rec + skate
 
                 def step(carry, _):
@@ -315,7 +331,7 @@ class ClipSolver:
                 return state, opt_state, hist
 
             self._compiled[key] = run
-        return self._compiled[key](state, opt_state, target_6d,
+        return self._compiled[key](self.ctx, state, opt_state, target_6d,
                                    frame_weights, weight_right)
 
     # -- public API ------------------------------------------------------------

@@ -155,22 +155,25 @@ def fit_keypoints(model: SmplxModel, vposer_params: Dict[str, jnp.ndarray],
         right_hand=jnp.zeros((T, model.num_pca)),
     )
 
-    def reproj_loss(v: FitVars, joint_w: jnp.ndarray) -> jnp.ndarray:
+    def reproj_loss(model, vposer_params, kp, v: FitVars,
+                    joint_w: jnp.ndarray) -> jnp.ndarray:
         pose63 = VP.decode(vposer_params, v.latent)
         out = model(betas=v.betas, global_orient=v.global_orient,
                     body_pose=pose63, left_hand_pose=v.left_hand,
                     right_hand_pose=v.right_hand)
         j_cam = out["joints"] + v.camera_translation[:, None, :]
         j2d = project(jnp.take(j_cam, smplx_ids, axis=1), focal, center)
-        resid_sq = jnp.sum((j2d - keypoints[..., :2]) ** 2, axis=-1)
-        conf = keypoints[..., 2]
+        resid_sq = jnp.sum((j2d - kp[..., :2]) ** 2, axis=-1)
+        conf = kp[..., 2]
         w = conf * joint_w[None, :]
         loss = jnp.sum(w * gmof_sq(resid_sq, config.gmof_rho)) \
             / (jnp.sum(w) + 1e-6)
         return loss
 
-    def total_loss(v: FitVars, joint_w: jnp.ndarray) -> jnp.ndarray:
-        return (config.weight_reproj * reproj_loss(v, joint_w)
+    def total_loss(model, vposer_params, kp, v: FitVars,
+                   joint_w: jnp.ndarray) -> jnp.ndarray:
+        return (config.weight_reproj
+                * reproj_loss(model, vposer_params, kp, v, joint_w)
                 + config.weight_vposer * jnp.mean(v.latent ** 2)
                 + config.weight_shape * jnp.mean(v.betas ** 2)
                 + config.weight_hand * (jnp.mean(v.left_hand ** 2)
@@ -178,11 +181,14 @@ def fit_keypoints(model: SmplxModel, vposer_params: Dict[str, jnp.ndarray],
 
     opt = optax.adam(config.lr)
 
+    # model/vposer/keypoints ride through the jit boundary as traced
+    # arguments, never closure constants (TPU compile-time killer)
     @jax.jit
-    def run_stage(v, opt_state, joint_w, mask):
+    def run_stage(model, vposer_params, kp, v, opt_state, joint_w, mask):
         def step(carry, _):
             v, opt_state = carry
-            loss, g = jax.value_and_grad(total_loss)(v, joint_w)
+            loss, g = jax.value_and_grad(total_loss, argnums=3)(
+                model, vposer_params, kp, v, joint_w)
             g = jax.tree.map(lambda gi, m: gi * m, g, mask)
             updates, opt_state = opt.update(g, opt_state, v)
             v = optax.apply_updates(v, updates)
@@ -201,7 +207,8 @@ def fit_keypoints(model: SmplxModel, vposer_params: Dict[str, jnp.ndarray],
         ("all", base_w, _stage_mask(camera=True, body=True, hands=True)),
     ][: config.stages]
     for name, joint_w, mask in schedule:
-        v, opt_state, h = run_stage(v, opt_state, joint_w, mask)
+        v, opt_state, h = run_stage(model, vposer_params, keypoints, v,
+                                    opt_state, joint_w, mask)
         hist[name] = np.asarray(h)
 
     out = jnp.concatenate([
