@@ -13,17 +13,21 @@ Design (see /opt/skills/guides/pallas_guide.md):
     grid maximizes MXU/VPU occupancy. The reference instead
     materializes a per-frame scene copy [T, S, 3]
     (global_optimization.py:175-176); we never replicate.
-  * coordinates are zero-padded to K=8 lanes so the cross term
-    -2*x.y^T is a single MXU matmul per tile pair.
-  * the scene cloud streams through VMEM in M-tiles via the minor grid
-    dimension, with the running minimum of (|y|^2 - 2 x.y) accumulated
-    in the output block:  min_m |x-y_m|^2 = |x|^2 + min_m(|y|^2 - 2 x.y).
-    |x|^2 is added once on the last tile.
-  * argmin indices are carried alongside so the custom VJP can gather
-    the nearest scene point: d/dx min_m |x - y_m|^2 = 2 (x - y_argmin).
+  * the |x-y|^2 expansion is FOLDED INTO ONE MATMUL by augmenting the
+    coordinates:  x' = [-2x, 1, 0...],  y' = [y, |y|^2, 0...]  so that
+    x'.y' = |y|^2 - 2 x.y  — no lane-vector broadcast inside the
+    kernel (a `yy[None, :]` row-broadcast of a [M]-vector hangs the
+    Mosaic compiler), and padded scene rows mask themselves by
+    carrying |y|^2 = 1e30. |x|^2 is added back outside the kernel:
+    min_m |x-y_m|^2 = |x|^2 + min_m(|y_m|^2 - 2 x.y_m).
+  * the scene streams through VMEM in M-tiles via the minor grid
+    dimension, with a running (min, argmin) accumulated in the output
+    block across scene tiles.
+  * argmin indices feed the custom VJP, which gathers the nearest
+    scene point: d/dx min_m |x - y_m|^2 = 2 (x - y_argmin).
 
 Cost: 2*Q*M MXU FLOPs + ~2*Q*M VPU ops; HBM traffic = one scene pass
-per query tile row — the bandwidth lower bound for exact NN without a
+per query-tile row — the bandwidth lower bound for exact NN without a
 spatial index.
 """
 from __future__ import annotations
@@ -36,7 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BIG = 1e30  # compile-time constant: masks padded scene rows
+_BIG = 1e30  # |y|^2 slot of padded scene rows: they never win the min
 
 # 1D f32/i32 arrays are XLA-tiled in units of 1024 (= 8 sublanes x 128
 # lanes), so compiled query tiles must be multiples of 1024.
@@ -48,23 +52,20 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _nn_kernel(x_ref, y_ref, dist_ref, idx_ref, *, m_actual: int,
-               tile_m: int, num_m_tiles: int):
+def _nn_kernel(x_ref, y_ref, dist_ref, idx_ref, *, tile_m: int,
+               num_m_tiles: int):
     j = pl.program_id(1)
 
-    x = x_ref[...]                   # [TILE_Q, 8]
-    y = y_ref[...]                   # [TILE_M, 8]
+    x = x_ref[...]                   # [TILE_Q, 8] = [-2x | 1 | 0...]
+    y = y_ref[...]                   # [TILE_M, 8] = [ y | yy | 0...]
 
-    # cross term on the MXU; |y|^2 on the VPU
-    xy = jax.lax.dot_general(
+    # one MXU matmul yields |y|^2 - 2 x.y for the whole tile pair.
+    # HIGHEST precision: the |y|^2 - 2x.y cancellation loses ~1e-3
+    # relative accuracy at default MXU precision (bf16 passes)
+    part = jax.lax.dot_general(
         x, y, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)          # [TILE_Q, TILE_M]
-    yy = jnp.sum(y * y, axis=1)                      # [TILE_M]
-    part = yy[None, :] - 2.0 * xy                    # |y|^2 - 2 x.y
-
-    # mask padded scene rows (global col >= m_actual)
-    col = jax.lax.broadcasted_iota(jnp.int32, part.shape, 1) + j * tile_m
-    part = jnp.where(col < m_actual, part, _BIG)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)         # [TILE_Q, TILE_M]
 
     tile_min = jnp.min(part, axis=1)                            # [TILE_Q]
     tile_arg = (jnp.argmin(part, axis=1) + j * tile_m).astype(jnp.int32)
@@ -81,11 +82,6 @@ def _nn_kernel(x_ref, y_ref, dist_ref, idx_ref, *, m_actual: int,
         dist_ref[...] = jnp.where(better, tile_min, prev)
         idx_ref[...] = jnp.where(better, tile_arg, idx_ref[...])
 
-    @pl.when(j == num_m_tiles - 1)
-    def _finish():
-        xx = jnp.sum(x * x, axis=1)                  # [TILE_Q]
-        dist_ref[...] = jnp.maximum(dist_ref[...] + xx, 0.0)
-
 
 def _nn_forward(x: jnp.ndarray, y: jnp.ndarray, tile_q: int, tile_m: int,
                 interpret: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -97,17 +93,26 @@ def _nn_forward(x: jnp.ndarray, y: jnp.ndarray, tile_q: int, tile_m: int,
     q_pad = _round_up(max(Q, tile_q), tile_q)
     m_pad = _round_up(max(M, tile_m), tile_m)
 
+    xf = x.reshape(Q, 3).astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+
+    # augmented operands: x' = [-2x | 1], y' = [y | |y|^2] (padded
+    # scene rows carry |y|^2 = BIG so they never win the min)
     xp = jnp.zeros((q_pad, 8), dtype=jnp.float32)
-    xp = xp.at[:Q, :3].set(x.reshape(Q, 3).astype(jnp.float32))
-    yp = jnp.zeros((m_pad, 8), dtype=jnp.float32)
-    yp = yp.at[:M, :3].set(y.astype(jnp.float32))
+    xp = xp.at[:Q, :3].set(-2.0 * xf)
+    xp = xp.at[:, 3].set(1.0)
+    yy = jnp.sum(yf * yf, axis=1)
+    yp = jnp.full((m_pad, 8), 0.0, dtype=jnp.float32)
+    yp = yp.at[:M, :3].set(yf)
+    yp = yp.at[:, 3].set(_BIG)
+    yp = yp.at[:M, 3].set(yy)
 
     num_m_tiles = m_pad // tile_m
     grid = (q_pad // tile_q, num_m_tiles)
 
-    kernel = functools.partial(_nn_kernel, m_actual=M, tile_m=tile_m,
+    kernel = functools.partial(_nn_kernel, tile_m=tile_m,
                                num_m_tiles=num_m_tiles)
-    dist, idx = pl.pallas_call(
+    part_min, idx = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -127,14 +132,18 @@ def _nn_forward(x: jnp.ndarray, y: jnp.ndarray, tile_q: int, tile_m: int,
             jax.ShapeDtypeStruct((q_pad,), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * q_pad * m_pad,
+            flops=2 * q_pad * m_pad * 8,
             bytes_accessed=(q_pad * 8 * 4
                             + (q_pad // tile_q) * m_pad * 8 * 4
                             + 2 * q_pad * 4),
             transcendentals=0),
         interpret=interpret,
     )(xp, yp)
-    return dist[:Q].reshape(batch_shape), idx[:Q].reshape(batch_shape)
+
+    # add |x|^2 back (outside the kernel) and clamp numerical noise
+    xx = jnp.sum(xf * xf, axis=1)
+    dist = jnp.maximum(part_min[:Q] + xx, 0.0)
+    return dist.reshape(batch_shape), idx[:Q].reshape(batch_shape)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))

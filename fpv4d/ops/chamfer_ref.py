@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -36,6 +37,60 @@ def nn_distance_ref(x: jnp.ndarray, y: jnp.ndarray
     """
     d = pairwise_sqdist(x, y)
     return jnp.maximum(d.min(axis=-1), 0.0), d.argmin(axis=-1).astype(jnp.int32)
+
+
+def nn_distance_chunked(x: jnp.ndarray, y: jnp.ndarray,
+                        query_chunk: int = 8192,
+                        scene_chunk: int = 8192
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Memory-bounded exact NN: stream the scene through a lax.scan of
+    chunks, carrying a running (min, argmin); map over query chunks.
+
+    Works at any size without materializing the [Q, M] distance matrix
+    (peak temp = query_chunk x scene_chunk). Pure XLA — the fallback
+    hot path when the Pallas kernel is unavailable. x [..., 3] any
+    leading shape, y [M, 3] -> (dist [...], idx [...])."""
+    batch_shape = x.shape[:-1]
+    q = x.reshape(-1, 3)
+    Q, M = q.shape[0], y.shape[0]
+    # adapt chunk sizes down for small problems (tests / tiny scenes)
+    query_chunk = min(query_chunk, max(128, -(-Q // 128) * 128))
+    scene_chunk = min(scene_chunk, max(128, -(-M // 128) * 128))
+
+    q_pad = -Q % query_chunk
+    q = jnp.pad(q, ((0, q_pad), (0, 0)))
+    m_pad = -M % scene_chunk
+    # pad scene far away so padded rows never win
+    y_p = jnp.pad(y, ((0, m_pad), (0, 0)), constant_values=1e15)
+    n_sc = y_p.shape[0] // scene_chunk
+    y_chunks = y_p.reshape(n_sc, scene_chunk, 3)
+
+    def one_query_chunk(qc):
+        qq = jnp.sum(qc * qc, axis=-1)                      # [qc]
+
+        def scan_scene(carry, inp):
+            best_d, best_i = carry
+            yc, base = inp
+            yy = jnp.sum(yc * yc, axis=-1)
+            d = (qq[:, None] + yy[None, :]
+                 - 2.0 * qc @ yc.T)                         # [qc, sc]
+            dmin = d.min(axis=1)
+            darg = d.argmin(axis=1).astype(jnp.int32) + base
+            better = dmin < best_d
+            return (jnp.where(better, dmin, best_d),
+                    jnp.where(better, darg, best_i)), None
+
+        init = (jnp.full(qc.shape[0], jnp.inf, dtype=jnp.float32),
+                jnp.zeros(qc.shape[0], dtype=jnp.int32))
+        bases = jnp.arange(n_sc, dtype=jnp.int32) * scene_chunk
+        (d, i), _ = jax.lax.scan(scan_scene, init, (y_chunks, bases))
+        return jnp.maximum(d, 0.0), i
+
+    q_blocks = q.reshape(-1, query_chunk, 3)
+    d, i = jax.lax.map(one_query_chunk, q_blocks)
+    d = d.reshape(-1)[:Q].reshape(batch_shape)
+    i = i.reshape(-1)[:Q].reshape(batch_shape)
+    return d, i
 
 
 def chamfer_ref(x: jnp.ndarray, y: jnp.ndarray):

@@ -44,8 +44,7 @@ from fpv4d.models import params as P
 from fpv4d.models import vposer as VP
 from fpv4d.models.smplx import SmplxModel
 from fpv4d.ops import losses
-from fpv4d.ops.chamfer_pallas import nn_distance
-from fpv4d.ops.chamfer_ref import nn_distance_ref
+from fpv4d.ops import nn as NN
 
 
 class Ctx(NamedTuple):
@@ -54,6 +53,7 @@ class Ctx(NamedTuple):
     model: SmplxModel
     vposer: Dict[str, jnp.ndarray]
     scene: jnp.ndarray            # [M, 3]
+    grid: object = None           # Optional[NN.VoxelGrid] (impl='grid')
 
 
 class ClipState(NamedTuple):
@@ -117,11 +117,27 @@ class ClipSolver:
     contact_vids_left: np.ndarray       # L_Leg
     contact_vids_right: np.ndarray      # R_Leg
     config: ClipConfig = ClipConfig()
-    use_pallas: Optional[bool] = None   # default: on TPU backends
+    use_pallas: Optional[bool] = None   # legacy toggle: True -> 'pallas'
+    nn_impl: Optional[str] = None       # 'grid'|'pallas'|'xla'|'ref'
+    grid_h: float = 0.25                # voxel size for impl='grid'
+    grid_slots: int = 8
 
     def __post_init__(self):
-        if self.use_pallas is None:
-            self.use_pallas = jax.default_backend() == "tpu"
+        if self.nn_impl is None:
+            if self.use_pallas is True:
+                self.nn_impl = "pallas"
+            elif self.use_pallas is False:
+                self.nn_impl = "xla"
+            else:
+                # TPU default: voxel-grid acceleration (the scene is
+                # static across all iterations)
+                self.nn_impl = ("grid" if jax.default_backend() == "tpu"
+                                else "xla")
+        self._grid = None
+        if self.nn_impl == "grid":
+            self._grid = NN.build_voxel_grid(
+                np.asarray(self.scene_verts), h=self.grid_h,
+                slots_per_cell=self.grid_slots)
         self._opt = optax.adam(self.config.lr)
         # jitted phase programs, keyed by (phase, num_steps); large
         # arrays ride through the Ctx argument, never as constants
@@ -130,16 +146,18 @@ class ClipSolver:
     @property
     def ctx(self) -> Ctx:
         return Ctx(model=self.model, vposer=self.vposer_params,
-                   scene=self.scene_verts)
+                   scene=self.scene_verts, grid=self._grid)
 
     # -- geometry ------------------------------------------------------------
 
-    def _nn(self, pts: jnp.ndarray, scene: jnp.ndarray) -> jnp.ndarray:
+    def _nn(self, pts: jnp.ndarray, scene: jnp.ndarray,
+            grid=None) -> jnp.ndarray:
         """[T, N, 3] vs scene [M, 3] -> squared NN distance [T, N]."""
-        if self.use_pallas:
-            d, _ = nn_distance(pts, scene)
+        if grid is not None and self.nn_impl == "grid":
+            d, _ = NN.grid_nn(grid, pts)
         else:
-            d, _ = nn_distance_ref(pts, scene[None])
+            impl = "xla" if self.nn_impl == "grid" else self.nn_impl
+            d, _ = NN.nn_brute(pts, scene, impl)
         return d
 
     # -- objectives ----------------------------------------------------------
@@ -154,7 +172,8 @@ class ClipSolver:
         rec = w.rec * losses.rec_l1(target_6d, state.body_6d, frame_weights)
         vposer = w.vposer * losses.vposer_prior(aux["latent"])
         smooth = losses.second_order_smoothness(state.body_6d)
-        contact_d = self._nn(verts_w[:, self.contact_vids], ctx.scene)
+        contact_d = self._nn(verts_w[:, self.contact_vids], ctx.scene,
+                             ctx.grid)
         contact = w.contact * losses.robust_contact(contact_d)
         world_smooth = losses.first_order_smoothness(joints_w)
         dct = losses.dct_trajectory(joints_w, state.c_dct,
@@ -187,9 +206,11 @@ class ClipSolver:
             def run(ctx, state):
                 verts_w, _, _ = forward_world(ctx, state)
                 d_l = jnp.mean(self._nn(
-                    verts_w[:, self.contact_vids_left], ctx.scene), axis=1)
+                    verts_w[:, self.contact_vids_left], ctx.scene,
+                    ctx.grid), axis=1)
                 d_r = jnp.mean(self._nn(
-                    verts_w[:, self.contact_vids_right], ctx.scene), axis=1)
+                    verts_w[:, self.contact_vids_right], ctx.scene,
+                    ctx.grid), axis=1)
                 return losses.planted_foot_weight(d_l, d_r)
 
             self._compiled["detect_contact"] = run

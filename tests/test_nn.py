@@ -1,0 +1,130 @@
+"""Unified NN front-end tests: voxel-grid accelerated vs brute-force,
+custom VJP correctness, and the exact-at-argmin accuracy guarantee."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fpv4d.ops import nn as NN
+from fpv4d.ops.chamfer_ref import nn_distance_ref, nn_distance_chunked
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.RandomState(0)
+    # a floor plane plus a wall, dense enough for grid queries
+    floor = np.stack([rng.uniform(-2, 2, 3000),
+                      np.full(3000, -1.0) + 0.01 * rng.randn(3000),
+                      rng.uniform(-2, 2, 3000)], 1)
+    wall = np.stack([np.full(1000, 2.0) + 0.01 * rng.randn(1000),
+                     rng.uniform(-1, 1, 1000),
+                     rng.uniform(-2, 2, 1000)], 1)
+    return np.concatenate([floor, wall]).astype(np.float32)
+
+
+def test_chunked_matches_ref(scene):
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(3, 40, 3).astype(np.float32))
+    y = jnp.asarray(scene)
+    d1, i1 = nn_distance_chunked(x, y)
+    d2, i2 = nn_distance_ref(x, y[None])
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-3)
+    assert float((i1 == i2).mean()) > 0.999
+
+
+def test_grid_exact_near_scene(scene):
+    """Queries within one voxel of the scene must get the EXACT NN."""
+    rng = np.random.RandomState(2)
+    grid = NN.build_voxel_grid(scene, h=0.25, slots_per_cell=32)
+    base = scene[rng.choice(len(scene), 200)]
+    q = jnp.asarray(base + rng.randn(200, 3).astype(np.float32) * 0.03)
+    d_grid, i_grid = NN.grid_nn(grid, q)
+    d_ref, i_ref = nn_distance_ref(q[None], jnp.asarray(scene)[None])
+    np.testing.assert_allclose(np.asarray(d_grid), np.asarray(d_ref)[0],
+                               atol=1e-5)
+
+
+def test_grid_far_saturates(scene):
+    grid = NN.build_voxel_grid(scene, h=0.25)
+    q = jnp.asarray(np.array([[50.0, 50.0, 50.0]], np.float32))
+    d, i = NN.grid_nn(grid, q)
+    assert float(d[0]) == NN.BIG
+    assert int(i[0]) == -1
+
+
+def test_grid_gradient_matches_exact(scene):
+    rng = np.random.RandomState(3)
+    grid = NN.build_voxel_grid(scene, h=0.25, slots_per_cell=32)
+    base = scene[rng.choice(len(scene), 50)]
+    q = jnp.asarray(base + rng.randn(50, 3).astype(np.float32) * 0.02)
+
+    def loss_grid(q):
+        d, _ = NN.grid_nn(grid, q)
+        r = jnp.sqrt(d + 1e-4)
+        return jnp.mean(r / (r + 1.0))
+
+    def loss_ref(q):
+        d, _ = nn_distance_ref(q[None], jnp.asarray(scene)[None])
+        r = jnp.sqrt(d[0] + 1e-4)
+        return jnp.mean(r / (r + 1.0))
+
+    g1 = np.asarray(jax.grad(loss_grid)(q))
+    g2 = np.asarray(jax.grad(loss_ref)(q))
+    np.testing.assert_allclose(g1, g2, atol=1e-4, rtol=1e-3)
+
+
+def test_grid_far_gradient_is_zero(scene):
+    grid = NN.build_voxel_grid(scene, h=0.25)
+    q = jnp.asarray(np.array([[50.0, 50.0, 50.0]], np.float32))
+    g = jax.grad(lambda q: jnp.sum(NN.grid_nn(grid, q)[0]))(q)
+    np.testing.assert_allclose(np.asarray(g), 0.0)
+
+
+def test_nn_brute_exact_at_argmin(scene):
+    """The reported distance must be the exact f32 distance to the
+    selected neighbor (no Gram-trick cancellation error)."""
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 30, 3).astype(np.float32) * 2)
+    y = jnp.asarray(scene)
+    d, i = NN.nn_brute(x, y, "xla")
+    exact = np.sum((np.asarray(x) - scene[np.asarray(i)]) ** 2, -1)
+    np.testing.assert_allclose(np.asarray(d), exact, rtol=1e-6, atol=1e-7)
+
+
+def test_nn_brute_grad(scene):
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(20, 3).astype(np.float32))
+    y = jnp.asarray(scene)
+
+    def loss(x, y):
+        d, _ = NN.nn_brute(x, y, "xla")
+        return jnp.sum(d)
+
+    gx, gy = jax.grad(loss, argnums=(0, 1))(x, y)
+    # analytic: 2*(x - nearest)
+    _, i = NN.nn_brute(x, y, "xla")
+    expected = 2 * (np.asarray(x) - scene[np.asarray(i)])
+    np.testing.assert_allclose(np.asarray(gx), expected, atol=1e-5)
+    # scene grads accumulate the negatives
+    np.testing.assert_allclose(np.asarray(gy).sum(0), -expected.sum(0),
+                               atol=1e-4)
+
+
+def test_dispatch(scene):
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(10, 3).astype(np.float32))
+    y = jnp.asarray(scene)
+    grid = NN.build_voxel_grid(scene, h=0.25)
+    d1, _ = NN.nn_distance(x, y, impl="xla")
+    d2, _ = NN.nn_distance(x, y, impl="grid", grid=grid)
+    assert d1.shape == d2.shape == (10,)
+    with pytest.raises(ValueError):
+        NN.nn_distance(x, y, impl="grid")
+
+
+def test_grid_jittable(scene):
+    grid = NN.build_voxel_grid(scene, h=0.25)
+    q = jnp.asarray(np.random.RandomState(7).randn(16, 3), jnp.float32)
+    f = jax.jit(lambda g, q: NN.grid_nn(g, q)[0])
+    d = f(grid, q)
+    assert d.shape == (16,)
