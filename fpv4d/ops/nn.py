@@ -6,13 +6,14 @@ query point to its nearest scene point", all sharing one custom VJP
 neighbor):
 
   * 'grid'   — voxel-grid accelerated (the TPU-first default): the
-    scene is STATIC across all solver iterations, so we precompute a
-    dense voxel table once on the host and answer queries with pure
-    gathers — 27 neighbor cells x L slots ≈ 2 orders of magnitude less
-    work than brute force. Exact within one voxel radius; beyond it
-    the distance saturates to BIG, which matches the robust contact
-    energy sqrt(d)/(sqrt(d)+1) ~ 1 (gradient ~ 0) the pipeline applies
-    (global_optimization.py:295).
+    scene is STATIC across all solver iterations, so we precompute —
+    once, on the host — a per-cell table of the K candidate points of
+    each cell's 3x3x3 neighborhood, stored as coordinates. A query
+    then costs ONE gather of [K, 3] by cell id + a K-way min: no
+    27-cell indexing, no second-level indirection. Exact within one
+    voxel radius; beyond it the distance saturates to BIG, which
+    matches the robust contact energy sqrt(d)/(sqrt(d)+1) ~ 1
+    (gradient ~ 0) the pipeline applies (global_optimization.py:295).
   * 'pallas' — the brute-force Pallas MXU kernel (chamfer_pallas).
   * 'xla'    — memory-bounded chunked XLA brute force (chamfer_ref).
 
@@ -38,8 +39,7 @@ from fpv4d.ops.chamfer_ref import nn_distance_chunked, nn_distance_ref
 
 BIG = 1e4   # saturation distance^2 for empty neighborhoods (grid mode)
 
-_OFFSETS = np.stack(np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1],
-                                indexing="ij"), -1).reshape(27, 3)
+_QUERY_BLOCK = 65536   # bounds the [block, K, 3] gather intermediate
 
 
 @jax.tree_util.register_pytree_node_class
@@ -47,35 +47,39 @@ _OFFSETS = np.stack(np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1],
 class VoxelGrid:
     """Dense voxel table over the scene bounding box.
 
-    table[c, l] = scene point index (or -1) for the l-th point in cell
-    c; points = the scene cloud. dims/origin/h are static metadata.
+    cand_pts[c, k] = coordinates of the k-th candidate point for
+    queries landing in cell c (the candidates are the points of the
+    cell's 3x3x3 neighborhood, nearest-to-cell-center first, up to K);
+    cand_idx holds their original scene indices (-1 = empty slot).
+    dims/origin/h are static metadata.
     """
-    points: jnp.ndarray            # [M, 3]
-    table: jnp.ndarray             # [num_cells, L] int32
+    cand_pts: jnp.ndarray          # [num_cells, K, 3] f32
+    cand_idx: jnp.ndarray          # [num_cells, K] int32
     origin: jnp.ndarray            # [3]
     dims: Tuple[int, int, int] = field(compare=False)
     h: float = field(compare=False)
 
     def tree_flatten(self):
-        return (self.points, self.table, self.origin), (self.dims, self.h)
+        return (self.cand_pts, self.cand_idx, self.origin), \
+            (self.dims, self.h)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        points, table, origin = leaves
+        cand_pts, cand_idx, origin = leaves
         dims, h = aux
-        return cls(points=points, table=table, origin=origin,
+        return cls(cand_pts=cand_pts, cand_idx=cand_idx, origin=origin,
                    dims=dims, h=h)
 
 
 def build_voxel_grid(points: np.ndarray, h: float = 0.25,
-                     slots_per_cell: int = 8,
-                     max_cells: int = 4_000_000) -> VoxelGrid:
+                     slots_per_cell: int = 32,
+                     max_cells: int = 500_000) -> VoxelGrid:
     """Host-side construction (numpy; one-time per scene).
 
     Cell size h == search radius guarantee: any true NN within h of a
-    query is found exactly (a point within distance h lies in one of
-    the 27 neighboring cells). Cells overflowing slots_per_cell keep a
-    spatially representative subset (strided)."""
+    query is found exactly as long as the cell's neighborhood holds at
+    most K points (overflowing neighborhoods keep the K points nearest
+    to the cell center — voxel-downsample dense scenes first)."""
     pts = np.ascontiguousarray(points, dtype=np.float32)
     mins = pts.min(axis=0) - h
     maxs = pts.max(axis=0) + h
@@ -91,43 +95,108 @@ def build_voxel_grid(points: np.ndarray, h: float = 0.25,
     order = np.argsort(flat, kind="stable")
     flat_sorted = flat[order]
     num_cells = int(dims.prod())
-    L = slots_per_cell
-    table = np.full((num_cells, L), -1, dtype=np.int32)
+    K = slots_per_cell
+
     starts = np.searchsorted(flat_sorted, np.arange(num_cells), "left")
     ends = np.searchsorted(flat_sorted, np.arange(num_cells), "right")
-    occupied = np.nonzero(ends > starts)[0]
-    for c in occupied:
-        idxs = order[starts[c]:ends[c]]
-        if len(idxs) > L:       # strided subset keeps spatial spread
-            idxs = idxs[np.linspace(0, len(idxs) - 1, L).astype(int)]
-        table[c, :len(idxs)] = idxs
-    return VoxelGrid(points=jnp.asarray(pts), table=jnp.asarray(table),
+    counts = ends - starts
+
+    cand_idx = np.full((num_cells, K), -1, dtype=np.int32)
+    cand_pts = np.zeros((num_cells, K, 3), dtype=np.float32)
+
+    # neighborhoods of cells that have ANY point within one cell of
+    # them: iterate over cells with a nonempty 3x3x3 neighborhood
+    dx, dy, dz = np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1],
+                             indexing="ij")
+    offsets = (dx.ravel() * dims[1] + dy.ravel()) * dims[2] + dz.ravel()
+    occupied = np.nonzero(counts > 0)[0]
+    # mark all cells whose neighborhood intersects an occupied cell
+    neigh_mask = np.zeros(num_cells, dtype=bool)
+    cx = occupied // (dims[1] * dims[2])
+    cy = (occupied // dims[2]) % dims[1]
+    cz = occupied % dims[2]
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            for oz in (-1, 0, 1):
+                nx = np.clip(cx + ox, 0, dims[0] - 1)
+                ny = np.clip(cy + oy, 0, dims[1] - 1)
+                nz = np.clip(cz + oz, 0, dims[2] - 1)
+                neigh_mask[(nx * dims[1] + ny) * dims[2] + nz] = True
+    active = np.nonzero(neigh_mask)[0]
+
+    half = h * 0.5
+    for c in active:
+        x, y, z = (c // (dims[1] * dims[2]),
+                   (c // dims[2]) % dims[1], c % dims[2])
+        idxs = []
+        for ox in (-1, 0, 1):
+            nx = x + ox
+            if nx < 0 or nx >= dims[0]:
+                continue
+            for oy in (-1, 0, 1):
+                ny = y + oy
+                if ny < 0 or ny >= dims[1]:
+                    continue
+                for oz in (-1, 0, 1):
+                    nz = z + oz
+                    if nz < 0 or nz >= dims[2]:
+                        continue
+                    n = (nx * dims[1] + ny) * dims[2] + nz
+                    if counts[n]:
+                        idxs.append(order[starts[n]:ends[n]])
+        if not idxs:
+            continue
+        idxs = np.concatenate(idxs)
+        if len(idxs) > K:
+            center = mins + (np.array([x, y, z]) + 0.5) * h
+            d2 = ((pts[idxs] - center) ** 2).sum(1)
+            idxs = idxs[np.argsort(d2)[:K]]
+        cand_idx[c, :len(idxs)] = idxs
+        cand_pts[c, :len(idxs)] = pts[idxs]
+
+    return VoxelGrid(cand_pts=jnp.asarray(cand_pts),
+                     cand_idx=jnp.asarray(cand_idx),
                      origin=jnp.asarray(mins, dtype=jnp.float32),
                      dims=(int(dims[0]), int(dims[1]), int(dims[2])),
                      h=float(h))
 
 
-def _grid_forward(grid: VoxelGrid, q: jnp.ndarray
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """q [..., 3] -> (dist_sq [...], idx [...] int32, -1 if empty)."""
+def _grid_forward_block(grid: VoxelGrid, q: jnp.ndarray
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """q [B, 3] -> (dist_sq [B], idx [B] int32, -1 if empty)."""
     dims = jnp.asarray(grid.dims, dtype=jnp.int32)
     cell = jnp.floor((q - grid.origin) / grid.h).astype(jnp.int32)
     cell = jnp.clip(cell, 0, dims - 1)
-    nbr = cell[..., None, :] + jnp.asarray(_OFFSETS, dtype=jnp.int32)
-    nbr = jnp.clip(nbr, 0, dims - 1)
-    flat = (nbr[..., 0] * grid.dims[1] + nbr[..., 1]) \
-        * grid.dims[2] + nbr[..., 2]                       # [..., 27]
-    cand = grid.table[flat]                                # [..., 27, L]
-    shape = cand.shape[:-2] + (cand.shape[-2] * cand.shape[-1],)
-    cand = cand.reshape(shape)                             # [..., 27L]
-    pts = grid.points[jnp.maximum(cand, 0)]                # [..., 27L, 3]
-    d = jnp.sum((q[..., None, :] - pts) ** 2, axis=-1)
-    d = jnp.where(cand >= 0, d, BIG)
+    flat = (cell[:, 0] * grid.dims[1] + cell[:, 1]) \
+        * grid.dims[2] + cell[:, 2]                        # [B]
+    pts = grid.cand_pts[flat]                              # [B, K, 3]
+    valid = grid.cand_idx[flat] >= 0                       # [B, K]
+    d = jnp.sum((q[:, None, :] - pts) ** 2, axis=-1)
+    d = jnp.where(valid, d, BIG)
     slot = jnp.argmin(d, axis=-1)
-    dist = jnp.take_along_axis(d, slot[..., None], axis=-1)[..., 0]
-    idx = jnp.take_along_axis(cand, slot[..., None], axis=-1)[..., 0]
+    dist = jnp.take_along_axis(d, slot[:, None], axis=-1)[:, 0]
+    idx = jnp.take_along_axis(grid.cand_idx[flat], slot[:, None],
+                              axis=-1)[:, 0]
     idx = jnp.where(dist >= BIG, -1, idx)
     return jnp.minimum(dist, BIG), idx
+
+
+def _grid_forward(grid: VoxelGrid, q: jnp.ndarray
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """q [..., 3] -> (dist_sq [...], idx [...]). Processes queries in
+    blocks so the [block, K, 3] gather stays ~100MB at clip scale."""
+    batch_shape = q.shape[:-1]
+    qf = q.reshape(-1, 3)
+    Q = qf.shape[0]
+    if Q <= _QUERY_BLOCK:
+        d, i = _grid_forward_block(grid, qf)
+        return d.reshape(batch_shape), i.reshape(batch_shape)
+    pad = -Q % _QUERY_BLOCK
+    qf = jnp.pad(qf, ((0, pad), (0, 0)))
+    blocks = qf.reshape(-1, _QUERY_BLOCK, 3)
+    d, i = jax.lax.map(lambda b: _grid_forward_block(grid, b), blocks)
+    return (d.reshape(-1)[:Q].reshape(batch_shape),
+            i.reshape(-1)[:Q].reshape(batch_shape))
 
 
 @jax.custom_vjp
@@ -138,13 +207,34 @@ def grid_nn(grid: VoxelGrid, q: jnp.ndarray):
 
 def _grid_fwd(grid, q):
     dist, idx = _grid_forward(grid, q)
-    return (dist, idx), (grid.points, q, idx)
+    # residual: the winning neighbor's coordinates (gathered in fwd so
+    # the bwd needs no access to the scene at all)
+    cell_nearest = _gather_nearest(grid, q, idx)
+    return (dist, idx), (q, idx, cell_nearest)
+
+
+def _gather_nearest(grid, q, idx):
+    # nearest point coords; for empty (-1) return q itself (zero grad)
+    dims = jnp.asarray(grid.dims, dtype=jnp.int32)
+    qf = q.reshape(-1, 3)
+    cell = jnp.clip(jnp.floor((qf - grid.origin) / grid.h)
+                    .astype(jnp.int32), 0, dims - 1)
+    flat = (cell[:, 0] * grid.dims[1] + cell[:, 1]) \
+        * grid.dims[2] + cell[:, 2]
+    # recover slot by matching idx within the cell's candidate list
+    cidx = grid.cand_idx[flat]                             # [B, K]
+    ifl = idx.reshape(-1)
+    slot = jnp.argmax(cidx == ifl[:, None], axis=-1)
+    pts = jnp.take_along_axis(grid.cand_pts[flat],
+                              slot[:, None, None].repeat(3, -1),
+                              axis=1)[:, 0]
+    pts = jnp.where((ifl >= 0)[:, None], pts, qf)
+    return pts.reshape(q.shape)
 
 
 def _grid_bwd(res, grads):
-    points, q, idx = res
+    q, idx, nearest = res
     g_dist, _ = grads
-    nearest = points[jnp.maximum(idx, 0)]
     dq = jnp.where((idx >= 0)[..., None],
                    g_dist[..., None] * 2.0 * (q - nearest), 0.0)
     # no gradient to the (static) grid

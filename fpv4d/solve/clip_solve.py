@@ -231,30 +231,40 @@ class ClipSolver:
         frame_weights)."""
         cfg = self.config
         T = body_75.shape[0]
-        body_6d = rotations.params_to_6d(body_75)
-        a, b = P.VPOSER_SLICE
-        latent = body_75[:, a:b]
-        stats = jnp.sum(latent ** 2, axis=1)
-        good = stats <= cfg.outlier_factor * jnp.mean(stats)
 
-        idx = jnp.arange(T)
-        # nearest good frame for every frame (outliers re-seeded from it)
-        dist = jnp.abs(idx[:, None] - idx[None, :]) + jnp.where(
-            good[None, :], 0, 10 * T)
-        nearest_good = jnp.argmin(dist, axis=1)
-        seed_from = jnp.where(good, idx, nearest_good)
-        body_6d = body_6d[seed_from]
+        if "init_state" not in self._compiled:
 
+            @jax.jit
+            def run(body_75):
+                T = body_75.shape[0]
+                body_6d = rotations.params_to_6d(body_75)
+                a, b = P.VPOSER_SLICE
+                latent = body_75[:, a:b]
+                stats = jnp.sum(latent ** 2, axis=1)
+                good = stats <= cfg.outlier_factor * jnp.mean(stats)
+
+                idx = jnp.arange(T)
+                # nearest good frame (outliers re-seeded from it)
+                dist = jnp.abs(idx[:, None] - idx[None, :]) + jnp.where(
+                    good[None, :], 0, 10 * T)
+                nearest_good = jnp.argmin(dist, axis=1)
+                seed_from = jnp.where(good, idx, nearest_good)
+                return (body_6d[seed_from], body_6d,
+                        good.astype(jnp.float32))
+
+            self._compiled["init_state"] = run
+
+        body_init, target_6d, weights = self._compiled["init_state"](
+            body_75)
         num_windows = T // cfg.window
         state = ClipState(
-            body_6d=body_6d,
+            body_6d=body_init,
             scale=jnp.asarray(cfg.scale_init, dtype=jnp.float32),
             camera_ext=camera_ext.astype(jnp.float32),
             c_dct=jnp.zeros((num_windows, cfg.num_dct_joints, 3,
                              cfg.dct_num), dtype=jnp.float32),
         )
-        target_6d = rotations.params_to_6d(body_75)
-        return state, target_6d, good.astype(jnp.float32)
+        return state, target_6d, weights
 
     # -- phase runner ----------------------------------------------------------
 
