@@ -57,7 +57,7 @@ def main():
     cfg = ClipConfig(num_iter=num_iter, window=60 if T % 60 == 0 else T,
                      dct_num=5)
     solver = ClipSolver(model=model, vposer_params=vp,
-                        scene_verts=jnp.asarray(scene),
+                        scene_verts=scene,  # np: grid builds host-side, device upload is lazy
                         contact_vids=np.concatenate([vids_l, vids_r]),
                         contact_vids_left=vids_l,
                         contact_vids_right=vids_r, config=cfg)

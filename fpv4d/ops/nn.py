@@ -39,7 +39,7 @@ from fpv4d.ops.chamfer_ref import nn_distance_chunked, nn_distance_ref
 
 BIG = 1e4   # saturation distance^2 for empty neighborhoods (grid mode)
 
-_QUERY_BLOCK = 65536   # bounds the [block, K, 3] gather intermediate
+_QUERY_BLOCK = 1 << 20   # bounds the [block, K, 3] gather intermediate
 
 
 @jax.tree_util.register_pytree_node_class
@@ -161,75 +161,60 @@ def build_voxel_grid(points: np.ndarray, h: float = 0.25,
                      h=float(h))
 
 
-def _grid_forward_block(grid: VoxelGrid, q: jnp.ndarray
-                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """q [B, 3] -> (dist_sq [B], idx [B] int32, -1 if empty)."""
+def _grid_forward_block(grid: VoxelGrid, q: jnp.ndarray):
+    """q [B, 3] -> (dist_sq [B], idx [B] int32 (-1 if empty),
+    nearest [B, 3] coords of the winner, = q where empty)."""
     dims = jnp.asarray(grid.dims, dtype=jnp.int32)
     cell = jnp.floor((q - grid.origin) / grid.h).astype(jnp.int32)
     cell = jnp.clip(cell, 0, dims - 1)
     flat = (cell[:, 0] * grid.dims[1] + cell[:, 1]) \
         * grid.dims[2] + cell[:, 2]                        # [B]
     pts = grid.cand_pts[flat]                              # [B, K, 3]
-    valid = grid.cand_idx[flat] >= 0                       # [B, K]
+    cand = grid.cand_idx[flat]                             # [B, K]
     d = jnp.sum((q[:, None, :] - pts) ** 2, axis=-1)
-    d = jnp.where(valid, d, BIG)
+    d = jnp.where(cand >= 0, d, BIG)
     slot = jnp.argmin(d, axis=-1)
     dist = jnp.take_along_axis(d, slot[:, None], axis=-1)[:, 0]
-    idx = jnp.take_along_axis(grid.cand_idx[flat], slot[:, None],
-                              axis=-1)[:, 0]
+    idx = jnp.take_along_axis(cand, slot[:, None], axis=-1)[:, 0]
     idx = jnp.where(dist >= BIG, -1, idx)
-    return jnp.minimum(dist, BIG), idx
+    nearest = jnp.take_along_axis(
+        pts, slot[:, None, None].repeat(3, -1), axis=1)[:, 0]
+    nearest = jnp.where((idx >= 0)[:, None], nearest, q)
+    return jnp.minimum(dist, BIG), idx, nearest
 
 
-def _grid_forward(grid: VoxelGrid, q: jnp.ndarray
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """q [..., 3] -> (dist_sq [...], idx [...]). Processes queries in
-    blocks so the [block, K, 3] gather stays ~100MB at clip scale."""
+def _grid_forward(grid: VoxelGrid, q: jnp.ndarray):
+    """q [..., 3] -> (dist_sq [...], idx [...], nearest [..., 3]).
+    Processes queries in blocks so the [block, K, 3] gather stays
+    bounded at extreme sizes."""
     batch_shape = q.shape[:-1]
     qf = q.reshape(-1, 3)
     Q = qf.shape[0]
     if Q <= _QUERY_BLOCK:
-        d, i = _grid_forward_block(grid, qf)
-        return d.reshape(batch_shape), i.reshape(batch_shape)
+        d, i, n = _grid_forward_block(grid, qf)
+        return (d.reshape(batch_shape), i.reshape(batch_shape),
+                n.reshape(batch_shape + (3,)))
     pad = -Q % _QUERY_BLOCK
     qf = jnp.pad(qf, ((0, pad), (0, 0)))
     blocks = qf.reshape(-1, _QUERY_BLOCK, 3)
-    d, i = jax.lax.map(lambda b: _grid_forward_block(grid, b), blocks)
+    d, i, n = jax.lax.map(lambda b: _grid_forward_block(grid, b), blocks)
     return (d.reshape(-1)[:Q].reshape(batch_shape),
-            i.reshape(-1)[:Q].reshape(batch_shape))
+            i.reshape(-1)[:Q].reshape(batch_shape),
+            n.reshape(-1, 3)[:Q].reshape(batch_shape + (3,)))
 
 
 @jax.custom_vjp
 def grid_nn(grid: VoxelGrid, q: jnp.ndarray):
     """Voxel-accelerated NN: (dist_sq [...], idx [...])."""
-    return _grid_forward(grid, q)
+    d, i, _ = _grid_forward(grid, q)
+    return d, i
 
 
 def _grid_fwd(grid, q):
-    dist, idx = _grid_forward(grid, q)
-    # residual: the winning neighbor's coordinates (gathered in fwd so
-    # the bwd needs no access to the scene at all)
-    cell_nearest = _gather_nearest(grid, q, idx)
-    return (dist, idx), (q, idx, cell_nearest)
-
-
-def _gather_nearest(grid, q, idx):
-    # nearest point coords; for empty (-1) return q itself (zero grad)
-    dims = jnp.asarray(grid.dims, dtype=jnp.int32)
-    qf = q.reshape(-1, 3)
-    cell = jnp.clip(jnp.floor((qf - grid.origin) / grid.h)
-                    .astype(jnp.int32), 0, dims - 1)
-    flat = (cell[:, 0] * grid.dims[1] + cell[:, 1]) \
-        * grid.dims[2] + cell[:, 2]
-    # recover slot by matching idx within the cell's candidate list
-    cidx = grid.cand_idx[flat]                             # [B, K]
-    ifl = idx.reshape(-1)
-    slot = jnp.argmax(cidx == ifl[:, None], axis=-1)
-    pts = jnp.take_along_axis(grid.cand_pts[flat],
-                              slot[:, None, None].repeat(3, -1),
-                              axis=1)[:, 0]
-    pts = jnp.where((ifl >= 0)[:, None], pts, qf)
-    return pts.reshape(q.shape)
+    # the winner's coordinates are kept as the VJP residual, so the
+    # backward touches no tables at all
+    dist, idx, nearest = _grid_forward(grid, q)
+    return (dist, idx), (q, idx, nearest)
 
 
 def _grid_bwd(res, grads):

@@ -135,6 +135,7 @@ class ClipSolver:
                                 else "xla")
         self._grid = None
         if self.nn_impl == "grid":
+            # build from host memory; np scenes avoid a device download
             self._grid = NN.build_voxel_grid(
                 np.asarray(self.scene_verts), h=self.grid_h,
                 slots_per_cell=self.grid_slots)
@@ -142,11 +143,14 @@ class ClipSolver:
         # jitted phase programs, keyed by (phase, num_steps); large
         # arrays ride through the Ctx argument, never as constants
         self._compiled = {}
+        self._scene_dev = None
 
     @property
     def ctx(self) -> Ctx:
+        if self._scene_dev is None:
+            self._scene_dev = jnp.asarray(self.scene_verts)
         return Ctx(model=self.model, vposer=self.vposer_params,
-                   scene=self.scene_verts, grid=self._grid)
+                   scene=self._scene_dev, grid=self._grid)
 
     # -- geometry ------------------------------------------------------------
 
