@@ -46,6 +46,24 @@ JOINT_NAMES_BODY = (
 )
 
 
+class _StaticArray:
+    """Hashable wrapper so a numpy array can ride in pytree aux data
+    (compared by content, hashed by shape/dtype/bytes)."""
+
+    __slots__ = ("arr", "_key")
+
+    def __init__(self, arr):
+        self.arr = np.asarray(arr)
+        self._key = (self.arr.shape, self.arr.dtype.str,
+                     self.arr.tobytes())
+
+    def __eq__(self, other):
+        return isinstance(other, _StaticArray) and self._key == other._key
+
+    def __hash__(self):
+        return hash((self._key[0], self._key[1], hash(self._key[2])))
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class SmplxModel:
@@ -72,12 +90,15 @@ class SmplxModel:
 
     def tree_flatten(self):
         leaves = tuple(getattr(self, k) for k in self._LEAVES)
-        return leaves, (self.faces, self.flat_hand_mean)
+        # aux data must be hashable with simple equality (jit cache
+        # keys) — wrap the faces array
+        return leaves, (_StaticArray(self.faces), self.flat_hand_mean)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         faces, flat_hand_mean = aux
-        return cls(*leaves, faces=faces, flat_hand_mean=flat_hand_mean)
+        return cls(*leaves, faces=faces.arr,
+                   flat_hand_mean=flat_hand_mean)
 
     # -- convenience sizes ---------------------------------------------------
     @property

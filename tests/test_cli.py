@@ -1,0 +1,142 @@
+"""CLI entry-point integration tests on tiny synthetic data — the
+framework's equivalents of the reference's script invocations
+(global_optimization.py / optimization.py / vis.py / utils/*)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from fpv4d.io import body_pkl
+from fpv4d.models import params as P
+
+
+@pytest.fixture(scope="module")
+def clip_dir(tmp_path_factory):
+    """A minimal clip directory: body_gen pkls + keypoints + scene."""
+    rng = np.random.RandomState(0)
+    root = tmp_path_factory.mktemp("clip")
+    T = 3
+    body = (rng.randn(T, 75) * 0.1).astype(np.float32)
+    body_pkl.save_clip(str(root / "body_gen"), body)
+
+    kp_dir = root / "keypoints"
+    kp_dir.mkdir()
+    for t in range(T):
+        flat = []
+        for k in range(25):
+            flat += [600.0 + 5 * k, 300.0 + 4 * k, 1.0]
+        with open(kp_dir / f"{t:06d}_keypoints.json", "w") as f:
+            json.dump({"people": [{"pose_keypoints_2d": flat}]}, f)
+
+    from fpv4d.io.ply import write_ply
+    scene = rng.randn(300, 3).astype(np.float32)
+    write_ply(str(root / "scene.ply"), scene)
+
+    with open(root / "camerapose.txt", "w") as f:
+        for t in range(T):
+            f.write(f"{t:06d}.jpg 1 0 0 0 0.1 0.2 {0.3 + t}\n")
+    return root
+
+
+def test_cli_fit(clip_dir, tmp_path):
+    from fpv4d.cli.fit import main
+    rc = main([str(clip_dir / "keypoints"), str(tmp_path / "bg"),
+               "--iters", "4", "--model", "NONE", "--vposer", "NONE"])
+    assert rc == 0
+    pkls = sorted((tmp_path / "bg").glob("*.pkl"))
+    assert len(pkls) == 3
+    d = body_pkl.load_frame(str(pkls[0]))
+    assert set(d) == set(P.SLICES)
+
+
+def test_cli_smooth(clip_dir, tmp_path):
+    from fpv4d.cli.smooth import main
+    rc = main([str(clip_dir / "body_gen"), str(tmp_path / "out"),
+               "--iters", "3"])
+    assert rc == 0
+    assert len(list((tmp_path / "out" / "smoothed_body").glob(
+        "*.pkl"))) == 3
+
+
+def test_cli_smooth_independent(clip_dir, tmp_path):
+    from fpv4d.cli.smooth import main
+    rc = main([str(clip_dir / "body_gen"), str(tmp_path / "out2"),
+               "--iters", "2", "--mode", "independent"])
+    assert rc == 0
+
+
+def test_cli_globalopt(clip_dir, tmp_path):
+    from fpv4d.cli.globalopt import main
+    rc = main([str(clip_dir / "body_gen"), str(tmp_path / "fit"),
+               "global", "--scene", str(clip_dir / "scene.ply"),
+               "--camera", str(clip_dir / "camerapose.txt"),
+               "--iters", "4", "--model", "NONE", "--vposer", "NONE"])
+    assert rc == 0
+    pkls = sorted((tmp_path / "fit").glob("*.pkl"))
+    assert len(pkls) == 3
+    d = body_pkl.load_frame(str(pkls[0]))
+    assert "scale" in d and "camera_ext" in d
+
+
+def test_cli_vis_world(clip_dir, tmp_path):
+    # first produce clip-solve outputs with scale/camera_ext
+    from fpv4d.cli.globalopt import main as gmain
+    fit = tmp_path / "fit"
+    assert gmain([str(clip_dir / "body_gen"), str(fit), "global",
+                  "--scene", str(clip_dir / "scene.ply"),
+                  "--iters", "2", "--model", "NONE",
+                  "--vposer", "NONE"]) == 0
+    from fpv4d.cli.vis import main as vmain
+    rc = vmain(["world", str(fit), "--scene",
+                str(clip_dir / "scene.ply"),
+                "--out", str(tmp_path / "render0"),
+                "--model", "NONE", "--vposer", "NONE", "--limit", "2"])
+    assert rc == 0
+    assert len(os.listdir(tmp_path / "render0")) == 2
+
+
+def test_cli_prep_pairs_campose_cloud(clip_dir, tmp_path):
+    from fpv4d.cli.prep import main
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    for i in range(70):
+        (img_dir / f"{i:06d}.jpg").write_bytes(b"")
+    assert main(["pairs", str(img_dir), "--out",
+                 str(tmp_path / "pairs.txt")]) == 0
+    pairs = open(tmp_path / "pairs.txt").read().splitlines()
+    assert all(len(line.split()) == 2 for line in pairs)
+
+    images_txt = tmp_path / "images.txt"
+    images_txt.write_text(
+        "# hdr\n1 0.9 0.1 0.2 0.3 1 2 3 1 000000.jpg\n9 9\n")
+    assert main(["campose", str(images_txt), "--out",
+                 str(tmp_path / "campose.txt")]) == 0
+
+    pts_txt = tmp_path / "points3D.txt"
+    pts_txt.write_text("# hdr\n1 1.0 2.0 3.0 255 0 0 0.5 1 2\n")
+    assert main(["cloud", str(pts_txt), "--out",
+                 str(tmp_path / "xyz.xyz")]) == 0
+    assert os.path.getsize(tmp_path / "xyz.xyz") > 0
+
+
+def test_cli_prep_filter_rename_masks(clip_dir, tmp_path):
+    from fpv4d.cli.prep import main
+    assert main(["rename", str(clip_dir / "keypoints"), "--out",
+                 str(tmp_path / "renamed")]) == 0
+    assert len(list((tmp_path / "renamed").glob(
+        "*_keypoints.json"))) == 3
+    assert main(["filter", str(clip_dir / "keypoints"), "--out",
+                 str(tmp_path / "filtered")]) == 0
+    assert main(["masks", str(clip_dir / "keypoints"), "--out",
+                 str(tmp_path / "masks"), "--width", "1280",
+                 "--height", "720"]) == 0
+    assert len(os.listdir(tmp_path / "masks")) == 3
+
+
+def test_cli_openpose_cmd(capsys):
+    from fpv4d.cli.prep import main
+    assert main(["openpose-cmd", "vid.mp4", "--json-out", "out/"]) == 0
+    out = capsys.readouterr().out
+    assert "--video vid.mp4" in out and "--write_json out/" in out
+    assert "--face" in out and "--hand" in out
