@@ -30,6 +30,13 @@ def main():
     num_iter = 20 if small else 500
 
     import jax
+    # persistent compilation cache: phase programs are identical
+    # across bench runs, so recompiles (2-3 min of AOT time on the
+    # remote TPU compiler) are skipped after the first run
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(
+                          os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from fpv4d.config import ClipConfig
     from fpv4d.models import smplx as jsmplx
