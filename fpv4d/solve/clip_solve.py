@@ -158,10 +158,9 @@ class ClipSolver:
             grid=None) -> jnp.ndarray:
         """[T, N, 3] vs scene [M, 3] -> squared NN distance [T, N]."""
         if grid is not None and self.nn_impl == "grid":
-            d, _ = NN.grid_nn(grid, pts)
-        else:
-            impl = "xla" if self.nn_impl == "grid" else self.nn_impl
-            d, _ = NN.nn_brute(pts, scene, impl)
+            return NN.grid_min_dist(grid, pts)
+        impl = "xla" if self.nn_impl == "grid" else self.nn_impl
+        d, _ = NN.nn_brute(pts, scene, impl)
         return d
 
     # -- objectives ----------------------------------------------------------

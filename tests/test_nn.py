@@ -128,3 +128,18 @@ def test_grid_jittable(scene):
     f = jax.jit(lambda g, q: NN.grid_nn(g, q)[0])
     d = f(grid, q)
     assert d.shape == (16,)
+
+
+def test_grid_min_dist_matches_grid_nn(scene):
+    import jax
+    rng = np.random.RandomState(8)
+    grid = NN.build_voxel_grid(scene, h=0.25, slots_per_cell=32)
+    q = jnp.asarray(scene[rng.choice(len(scene), 100)]
+                    + rng.randn(100, 3).astype(np.float32) * 0.05)
+    d1 = NN.grid_min_dist(grid, q)
+    d2, _ = NN.grid_nn(grid, q)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-6)
+    # autodiff gradient matches the custom-VJP gradient
+    g1 = jax.grad(lambda q: jnp.sum(NN.grid_min_dist(grid, q)))(q)
+    g2 = jax.grad(lambda q: jnp.sum(NN.grid_nn(grid, q)[0]))(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
