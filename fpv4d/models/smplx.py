@@ -139,6 +139,7 @@ class SmplxModel:
                  leye_pose: Optional[jnp.ndarray] = None,
                  reye_pose: Optional[jnp.ndarray] = None,
                  expression: Optional[jnp.ndarray] = None,
+                 vertex_subset: Optional[np.ndarray] = None,
                  **unused_kwargs) -> Dict[str, jnp.ndarray]:
         """Batched SMPL-X forward.
 
@@ -147,11 +148,19 @@ class SmplxModel:
         caller decodes VPoser latents first), hand poses [B,n_pca] PCA
         coefficients, transl [B,3].
 
-        Returns dict with vertices [B,V,3] and joints [B,55,3],
-        matching the .vertices/.joints surface the reference consumes
-        (global_optimization.py:283,298). Unknown kwargs are accepted
-        and ignored like the smplx package does (the reference passes
-        camera_translation through, global_optimization.py:273-282).
+        vertex_subset: optional static int array — skin ONLY these
+        vertices (pose blendshapes + LBS restricted to the subset;
+        joints still regress from the full shaped mesh). The clip
+        solver's contact term needs ~900 of the 10,475 vertices, a
+        ~12x cut of the LBS hot path; the reference always skins the
+        full mesh and slices afterwards (global_optimization.py:283-290).
+
+        Returns dict with vertices [B,V,3] (V = len(vertex_subset) if
+        given) and joints [B,55,3], matching the .vertices/.joints
+        surface the reference consumes (global_optimization.py:283,298).
+        Unknown kwargs are accepted and ignored like the smplx package
+        does (the reference passes camera_translation through,
+        global_optimization.py:273-282).
         """
         B = betas.shape[0]
         dtype = self.v_template.dtype
@@ -187,26 +196,39 @@ class SmplxModel:
         v_shaped = self.v_template + jnp.einsum(
             "vcs,bs->bvc", dirs, shape_feat)
 
-        # 2. rest joints from the shaped mesh
+        # 2. rest joints from the (full) shaped mesh
         j_rest = jnp.einsum("jv,bvc->bjc", self.j_regressor, v_shaped)
+
+        # restrict the skinning path to the requested vertex subset
+        if vertex_subset is not None:
+            sub = np.asarray(vertex_subset)
+            v_shaped = v_shaped[:, sub]
+            cols = (sub[:, None] * 3 + np.arange(3)).reshape(-1)
+            posedirs = self.posedirs[:, cols]
+            lbs_weights = self.lbs_weights[sub]
+        else:
+            posedirs = self.posedirs
+            lbs_weights = self.lbs_weights
 
         # 3. per-joint rotation matrices + pose blendshapes
         rot_mats = aa_to_matrot(full_pose)                  # [B,55,3,3]
         eye = jnp.eye(3, dtype=dtype)
         pose_feat = (rot_mats[:, 1:] - eye).reshape(B, -1)  # [B,(J-1)*9]
         v_posed = v_shaped + jnp.einsum(
-            "pn,bp->bn", self.posedirs, pose_feat).reshape(B, -1, 3)
+            "pn,bp->bn", posedirs, pose_feat).reshape(B, -1, 3)
 
         # 4. forward kinematics along the (static) parent chain
         joints_world, rel_transforms = batch_rigid_transform(
             rot_mats, j_rest, PARENTS)
 
-        # 5. linear blend skinning
-        T = jnp.einsum("vj,bjpq->bvpq", self.lbs_weights, rel_transforms)
+        # 5. linear blend skinning (3x4 blended affine per vertex)
+        A = rel_transforms[..., :3, :].reshape(B, NUM_JOINTS, 12)
+        T = jnp.einsum("vj,bjk->bvk", lbs_weights,
+                       A).reshape(B, -1, 3, 4)
         v_homo = jnp.concatenate(
             [v_posed, jnp.ones((B, v_posed.shape[1], 1), dtype=dtype)],
             axis=-1)
-        verts = jnp.einsum("bvpq,bvq->bvp", T, v_homo)[..., :3]
+        verts = jnp.einsum("bvpq,bvq->bvp", T, v_homo)
 
         if transl is not None:
             verts = verts + transl[:, None, :]

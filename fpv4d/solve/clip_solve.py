@@ -82,7 +82,8 @@ def _grad_mask(body=False, scale=False, camera=False, dct=False):
                      camera_ext=float(camera), c_dct=float(dct))
 
 
-def forward_world(ctx: Ctx, state: ClipState
+def forward_world(ctx: Ctx, state: ClipState,
+                  vertex_subset=None
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
     """body_6d -> world-space vertices [T,V,3] and joints [T,23,3].
 
@@ -90,7 +91,10 @@ def forward_world(ctx: Ctx, state: ClipState
     75-d, VPoser decode the 32-d latent, SMPL-X forward, scale
     vertices, rigid-transform by camera_ext @ pivot. Joints are
     transformed UNscaled, exactly like the reference (:298-299 applies
-    verts_transform without the *scale it gives verts)."""
+    verts_transform without the *scale it gives verts).
+
+    vertex_subset (static ids) restricts skinning to the vertices a
+    loss actually reads (e.g. the contact set) — a ~12x LBS cut."""
     body = rotations.params_to_3d(state.body_6d)        # [T, 75]
     d = P.split(body)
     pose63 = VP.decode(ctx.vposer, d["body_pose"])
@@ -98,7 +102,8 @@ def forward_world(ctx: Ctx, state: ClipState
         betas=d["betas"], global_orient=d["global_orient"],
         body_pose=pose63, transl=d["transl"],
         left_hand_pose=d["left_hand_pose"],
-        right_hand_pose=d["right_hand_pose"])
+        right_hand_pose=d["right_hand_pose"],
+        vertex_subset=vertex_subset)
     b2w = transforms.body2world(state.camera_ext,
                                 d["camera_translation"], state.scale)
     verts_w = transforms.transform_points(
@@ -171,12 +176,14 @@ class ClipSolver:
         """All six cal_loss terms (global_optimization.py:249-312)."""
         ctx = self.ctx if ctx is None else ctx
         w = self.config.weights
-        verts_w, joints_w, aux = forward_world(ctx, state)
+        # skin only the contact vertices — everything else the loss
+        # reads (joints, params) doesn't need the other ~10k verts
+        verts_w, joints_w, aux = forward_world(
+            ctx, state, vertex_subset=self.contact_vids)
         rec = w.rec * losses.rec_l1(target_6d, state.body_6d, frame_weights)
         vposer = w.vposer * losses.vposer_prior(aux["latent"])
         smooth = losses.second_order_smoothness(state.body_6d)
-        contact_d = self._nn(verts_w[:, self.contact_vids], ctx.scene,
-                             ctx.grid)
+        contact_d = self._nn(verts_w, ctx.scene, ctx.grid)
         contact = w.contact * losses.robust_contact(contact_d)
         world_smooth = losses.first_order_smoothness(joints_w)
         dct = losses.dct_trajectory(joints_w, state.c_dct,
@@ -205,15 +212,18 @@ class ClipSolver:
         left/(left+right) formula — see losses.planted_foot_weight)."""
         if "detect_contact" not in self._compiled:
 
+            n_left = len(self.contact_vids_left)
+            feet = np.concatenate([self.contact_vids_left,
+                                   self.contact_vids_right])
+
             @jax.jit
             def run(ctx, state):
-                verts_w, _, _ = forward_world(ctx, state)
+                verts_w, _, _ = forward_world(ctx, state,
+                                              vertex_subset=feet)
                 d_l = jnp.mean(self._nn(
-                    verts_w[:, self.contact_vids_left], ctx.scene,
-                    ctx.grid), axis=1)
+                    verts_w[:, :n_left], ctx.scene, ctx.grid), axis=1)
                 d_r = jnp.mean(self._nn(
-                    verts_w[:, self.contact_vids_right], ctx.scene,
-                    ctx.grid), axis=1)
+                    verts_w[:, n_left:], ctx.scene, ctx.grid), axis=1)
                 return losses.planted_foot_weight(d_l, d_r)
 
             self._compiled["detect_contact"] = run

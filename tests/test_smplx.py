@@ -175,3 +175,16 @@ def test_jit_and_grad(model):
     g = jax.grad(loss)(inp["body_pose"])
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_vertex_subset_matches_full(model):
+    inp = {k: jnp.asarray(v) for k, v in random_inputs(3, seed=7).items()}
+    full = model(**inp)
+    sub_ids = np.array([3, 17, 100, 101, 450], dtype=np.int32)
+    sub = model(vertex_subset=sub_ids, **inp)
+    np.testing.assert_allclose(np.asarray(sub["vertices"]),
+                               np.asarray(full["vertices"][:, sub_ids]),
+                               atol=1e-5)
+    # joints regress from the FULL shaped mesh (unchanged)
+    np.testing.assert_allclose(np.asarray(sub["joints"]),
+                               np.asarray(full["joints"]), atol=1e-6)
