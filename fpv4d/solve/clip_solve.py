@@ -21,8 +21,12 @@ TPU-first design vs the reference:
     so megabytes of blendshape/scene data never get baked into the
     compiled program as literals (a compile-time killer on TPU);
   * the scene cloud is shared, not replicated per frame (:175-176);
-  * contact distances run through the Pallas NN kernel on TPU (plain
-    XLA fallback elsewhere).
+  * contact distances default to the voxel-grid accelerated NN on TPU
+    (precomputed per-cell candidate tables; fpv4d.ops.nn) with brute
+    Pallas/XLA implementations selectable via nn_impl;
+  * only the vertices a phase's loss actually reads are skinned
+    (vertex_subset) — XLA additionally dead-code-eliminates the whole
+    SMPL-X forward out of phases whose loss is parameter-only.
 
 Modes: 'local' (contact + smoothing, then planted-foot anti-skate
 phase), 'global' (adds world joint smoothing), 'dct' (trajectory-prior
