@@ -71,10 +71,16 @@ def render_frame(model: SmplxModel, vposer_params, param: Dict,
     trans = body_to_world(param)
     verts_w = verts @ trans[:3, :3].T + trans[:3, 3]
 
-    # into the view camera's frame (GL convention: look down -Z)
+    # into the view camera's frame. camera_ext is COLMAP/OpenCV
+    # convention (x right, y down, z FORWARD); the rasterizer uses the
+    # GL convention (y up, -z forward), so flip y and z after the view
+    # transform (else everything sits "behind" the camera and renders
+    # black).
     view_inv = np.asarray(invert_rigid(jnp.asarray(view)))
+    cv_to_gl = np.array([1.0, -1.0, -1.0], dtype=np.float32)
+
     def to_cam(p):
-        return p @ view_inv[:3, :3].T + view_inv[:3, 3]
+        return (p @ view_inv[:3, :3].T + view_inv[:3, 3]) * cv_to_gl
 
     img = raster.render_points(to_cam(scene_pts), camera)
     if trajectory is not None and len(trajectory):
