@@ -238,6 +238,20 @@ class SmplxModel:
                 "full_pose": full_pose, "v_shaped": v_shaped}
 
 
+def _tree_levels(parents):
+    """Group joints by kinematic-tree depth (static schedule)."""
+    depth = [0] * len(parents)
+    for j in range(1, len(parents)):
+        depth[j] = depth[parents[j]] + 1
+    levels = {}
+    for j, d in enumerate(depth):
+        levels.setdefault(d, []).append(j)
+    return [np.asarray(levels[d]) for d in sorted(levels)]
+
+
+_LEVELS = _tree_levels(PARENTS)
+
+
 def batch_rigid_transform(rot_mats: jnp.ndarray,
                           joints: jnp.ndarray,
                           parents: Tuple[int, ...]
@@ -247,8 +261,9 @@ def batch_rigid_transform(rot_mats: jnp.ndarray,
     rot_mats [B,J,3,3], joints [B,J,3] rest positions -> posed joints
     [B,J,3] and skinning-relative transforms [B,J,4,4] (world transform
     with the rest-pose joint location factored out). The chain is
-    unrolled at trace time (J=55 static), each step a batched 4x4
-    matmul.
+    processed by TREE DEPTH (static schedule): all joints at the same
+    depth compose with their parents in one batched 4x4 matmul —
+    ~11 sequential matmuls instead of 55 for the SMPL-X tree.
     """
     B, J = joints.shape[:2]
     dtype = joints.dtype
@@ -264,10 +279,14 @@ def batch_rigid_transform(rot_mats: jnp.ndarray,
         [pad, jnp.ones((B, J, 1, 1), dtype=dtype)], axis=-1)
     local = jnp.concatenate([top, bottom], axis=-2)
 
-    world = [local[:, 0]]
-    for j in range(1, J):
-        world.append(jnp.matmul(world[parents[j]], local[:, j]))
-    world = jnp.stack(world, axis=1)                       # [B,J,4,4]
+    levels = (_LEVELS if tuple(parents) == PARENTS
+              else _tree_levels(parents))
+    world = jnp.zeros((B, J, 4, 4), dtype=dtype)
+    world = world.at[:, levels[0]].set(local[:, levels[0]])
+    for idx in levels[1:]:
+        par = parents_arr[idx]
+        w = jnp.matmul(world[:, par], local[:, idx])
+        world = world.at[:, idx].set(w)
 
     posed_joints = world[..., :3, 3]
 

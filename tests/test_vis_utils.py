@@ -151,3 +151,30 @@ def test_solver_checkpoint_roundtrip(tmp_path):
     assert step == 7
     np.testing.assert_allclose(np.asarray(s2.body_6d),
                                np.asarray(state.body_6d))
+
+
+def test_world_view_renders_content(tmp_path):
+    """Regression: COLMAP (+Z fwd) vs GL (-Z fwd) convention mismatch
+    rendered all-black world views."""
+    from fpv4d.io import body_pkl
+    from fpv4d.models import smplx as jsmplx, vposer
+    from fpv4d.vis.world_view import render_dir
+
+    model = jsmplx.synthetic_model(num_verts=128, seed=9)
+    vp = vposer.random_params(seed=9)
+    rng = np.random.RandomState(10)
+    body = (rng.randn(1, 75) * 0.1).astype(np.float32)
+    cam_ext = np.tile(np.eye(4, dtype=np.float32), (1, 1, 1))
+    base = tmp_path / "clip"
+    body_pkl.save_clip(str(base / "smoothed_body"), body, scale=1.0,
+                       camera_ext=cam_ext, prefix="")
+    # scene IN FRONT of a COLMAP camera at origin: +z, spread in x/y
+    scene = np.stack([np.random.RandomState(11).uniform(-1, 1, 500),
+                      np.random.RandomState(12).uniform(-1, 1, 500),
+                      np.random.RandomState(13).uniform(2, 4, 500)],
+                     1).astype(np.float32)
+    render_dir(str(base / "smoothed_body"), model, vp, scene,
+               str(tmp_path / "r"))
+    from PIL import Image
+    img = np.asarray(Image.open(tmp_path / "r" / "img_000.png"))
+    assert (img.sum(-1) > 0).mean() > 0.0003  # not a black frame
