@@ -285,7 +285,13 @@ def batch_rigid_transform(rot_mats: jnp.ndarray,
     world = world.at[:, levels[0]].set(local[:, levels[0]])
     for idx in levels[1:]:
         par = parents_arr[idx]
-        w = jnp.matmul(world[:, par], local[:, idx])
+        # flatten (batch, level) before the matmul: multi-batch-dim
+        # dots from gathered operands trip an XLA algebraic-simplifier
+        # RET_CHECK under vmap (transpose/dot layout mismatch)
+        n = len(idx)
+        wp = world[:, par].reshape(B * n, 4, 4)
+        lc = local[:, idx].reshape(B * n, 4, 4)
+        w = jnp.matmul(wp, lc).reshape(B, n, 4, 4)
         world = world.at[:, idx].set(w)
 
     posed_joints = world[..., :3, 3]

@@ -161,6 +161,54 @@ def build_voxel_grid(points: np.ndarray, h: float = 0.25,
                      h=float(h))
 
 
+def build_voxel_grid_batch(scenes, h: float = 0.25,
+                           slots_per_cell: int = 32,
+                           max_cells: int = 500_000) -> VoxelGrid:
+    """Batched grids for a multi-clip solve: one VoxelGrid whose
+    leaves carry a leading clip axis [C, ...]. All clips share the
+    same (dims, h) metadata — dims are the per-axis maxima, h the
+    coarsest chosen by any clip — so the batched structure vmaps
+    cleanly (static aux, batched leaves)."""
+    built = []
+    h_common = h
+    for s in scenes:
+        g = build_voxel_grid(np.asarray(s), h=h_common,
+                             slots_per_cell=slots_per_cell,
+                             max_cells=max_cells)
+        h_common = max(h_common, g.h)
+        built.append(g)
+    if any(g.h != h_common for g in built):     # rebuild at common h
+        built = [build_voxel_grid(np.asarray(s), h=h_common,
+                                  slots_per_cell=slots_per_cell,
+                                  max_cells=max_cells) for s in scenes]
+    dims = tuple(int(max(g.dims[a] for g in built)) for a in range(3))
+    num_cells = dims[0] * dims[1] * dims[2]
+    K = slots_per_cell
+    C = len(built)
+    pts = np.zeros((C, num_cells, K, 3), np.float32)
+    idx = np.full((C, num_cells, K), -1, np.int32)
+    origins = np.zeros((C, 3), np.float32)
+    for c, g in enumerate(built):
+        # re-scatter the per-clip table into the common-dims layout
+        gd = g.dims
+        src_pts = np.asarray(g.cand_pts).reshape(gd + (K, 3))
+        src_idx = np.asarray(g.cand_idx).reshape(gd + (K,))
+        dst_pts = pts[c].reshape(dims + (K, 3))
+        dst_idx = idx[c].reshape(dims + (K,))
+        dst_pts[:gd[0], :gd[1], :gd[2]] = src_pts
+        dst_idx[:gd[0], :gd[1], :gd[2]] = src_idx
+        origins[c] = np.asarray(g.origin)
+    return VoxelGrid(cand_pts=jnp.asarray(pts), cand_idx=jnp.asarray(idx),
+                     origin=jnp.asarray(origins), dims=dims, h=h_common)
+
+
+def grid_axes(grid: VoxelGrid) -> VoxelGrid:
+    """vmap in_axes spec mapping the leading clip axis of a batched
+    VoxelGrid (leaves axis 0; static aux shared)."""
+    return VoxelGrid(cand_pts=0, cand_idx=0, origin=0,
+                     dims=grid.dims, h=grid.h)
+
+
 def _grid_forward_block(grid: VoxelGrid, q: jnp.ndarray):
     """q [B, 3] -> (dist_sq [B], idx [B] int32 (-1 if empty),
     nearest [B, 3] coords of the winner, = q where empty)."""

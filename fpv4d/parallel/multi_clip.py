@@ -73,6 +73,19 @@ class MultiClipSolver:
                            jnp.asarray(scenes), self.clip_axis,
                            self.frame_axis))
 
+        grid_b = None
+        if self.solver.nn_impl == "grid":
+            from fpv4d.ops import nn as NN
+            # strip the far-away padding points before building grids
+            # (they would blow the voxel bounding boxes)
+            raw = []
+            for c in range(len(scenes)):
+                sc = np.asarray(scenes[c])
+                raw.append(sc[np.all(np.abs(sc) < _FAR / 2, axis=1)])
+            grid_b = NN.build_voxel_grid_batch(
+                raw, h=self.solver.grid_h,
+                slots_per_cell=self.solver.grid_slots)
+
         if mode == "local":
             schedule = [("local_a", int(cfg.num_iter * cfg.stage_split)),
                         ("local_b", cfg.num_iter
@@ -93,7 +106,7 @@ class MultiClipSolver:
         for phase, steps in schedule:
             step_fn, init_fn = SH.build_sharded_step(
                 self.solver, self.mesh, phase, self.clip_axis,
-                self.frame_axis)
+                self.frame_axis, grid_b=grid_b)
             if opt_state is None:
                 opt_state = init_fn(state_b)
             per_phase = []

@@ -75,56 +75,102 @@ def clip_batch_shardings(mesh: Mesh, clip_axis: str = "clips",
 
 def build_sharded_step(solver: ClipSolver, mesh: Mesh, phase: str = "local_a",
                        clip_axis: str = "clips",
-                       frame_axis: Optional[str] = "frames"):
+                       frame_axis: Optional[str] = "frames",
+                       grid_b=None):
     """One full training step (loss -> grad -> Adam update) of the
     clip solve, batched over clips and jitted over the mesh with 2-D
     (clips x frames) shardings. XLA inserts the halo exchanges for the
     temporal-difference terms and keeps everything else local.
+
+    grid_b: optional batched VoxelGrid (fpv4d.ops.nn.build_voxel_grid_batch,
+    leading clip axis) — enables the voxel-accelerated contact path
+    per clip; without it the contact term uses brute XLA NN.
 
     Returns (step_fn, init_fn):
       init_fn(state_batch) -> opt_state (sharded like the state)
       step_fn(state, opt_state, target, weights, scene) ->
           (state', opt_state', loss [C])
     """
+    from fpv4d.ops import nn as NN
+
     sh = clip_batch_shardings(mesh, clip_axis, frame_axis)
     opt = solver._opt
     mask = solver.phase_mask(phase)
+    use_grid = grid_b is not None and solver.nn_impl == "grid"
 
-    def one_clip_loss(ctx, state, target, weights):
-        # same stage recipes as the single-clip solver; the per-clip
-        # scene rides in ctx.scene (vmapped axis), the shared model
-        # tables are broadcast (in_axes=None leaves)
-        return solver.phase_loss(phase, state, target, weights, ctx)
+    def batched_loss(ctx_base, scene_b, grid_b, state_b, target_b,
+                     weights_b):
+        # per-clip scene/grid ride the vmapped axes; the shared model
+        # tables broadcast (in_axes=None leaves)
+        if use_grid:
+            def per_clip(scene, grid_c, state, target, weights):
+                ctx = Ctx(model=ctx_base.model, vposer=ctx_base.vposer,
+                          scene=scene, grid=grid_c)
+                return solver.phase_loss(phase, state, target, weights,
+                                         ctx)
 
-    def batched_loss(ctx_base, scene_b, state_b, target_b, weights_b):
-        def per_clip(scene, state, target, weights):
-            ctx = Ctx(model=ctx_base.model, vposer=ctx_base.vposer,
-                      scene=scene)
-            return one_clip_loss(ctx, state, target, weights)
+            losses = jax.vmap(
+                per_clip,
+                in_axes=(0, NN.grid_axes(grid_b), 0, 0, 0))(
+                    scene_b, grid_b, state_b, target_b, weights_b)
+        else:
+            def per_clip(scene, state, target, weights):
+                ctx = Ctx(model=ctx_base.model, vposer=ctx_base.vposer,
+                          scene=scene)
+                return solver.phase_loss(phase, state, target, weights,
+                                         ctx)
 
-        losses = jax.vmap(per_clip)(scene_b, state_b, target_b, weights_b)
+            losses = jax.vmap(per_clip)(scene_b, state_b, target_b,
+                                        weights_b)
         return jnp.sum(losses), losses
 
-    def step(ctx_base, scene_b, state_b, opt_state, target_b, weights_b):
-        (_, per_clip), grads = jax.value_and_grad(
-            batched_loss, argnums=2, has_aux=True)(
-                ctx_base, scene_b, state_b, target_b, weights_b)
+    def _update(grads, opt_state, state_b):
         grads = jax.tree.map(lambda g, m: g * m, grads, mask)
         updates, opt_state = opt.update(grads, opt_state, state_b)
-        state_b = optax.apply_updates(state_b, updates)
-        return state_b, opt_state, per_clip
+        return optax.apply_updates(state_b, updates), opt_state
 
-    jitted = jax.jit(
-        step,
-        in_shardings=(sh["replicated"], sh["scene"], sh["state"], None,
-                      sh["target"], sh["weights"]),
-        out_shardings=(sh["state"], None,
-                       NamedSharding(mesh, P(clip_axis))),
-    )
+    out_sh = (sh["state"], None, NamedSharding(mesh, P(clip_axis)))
 
-    def step_fn(state_b, opt_state, target_b, weights_b, scene_b):
-        return jitted(solver.ctx, scene_b, state_b, opt_state, target_b,
-                      weights_b)
+    if use_grid:
+        def step(ctx_base, scene_b, grid_arg, state_b, opt_state,
+                 target_b, weights_b):
+            (_, per_clip), grads = jax.value_and_grad(
+                batched_loss, argnums=3, has_aux=True)(
+                    ctx_base, scene_b, grid_arg, state_b, target_b,
+                    weights_b)
+            state_b, opt_state = _update(grads, opt_state, state_b)
+            return state_b, opt_state, per_clip
+
+        grid_sharding = jax.tree.map(
+            lambda _: NamedSharding(mesh, P(clip_axis)), grid_b)
+        jitted = jax.jit(
+            step,
+            in_shardings=(sh["replicated"], sh["scene"], grid_sharding,
+                          sh["state"], None, sh["target"], sh["weights"]),
+            out_shardings=out_sh)
+
+        def step_fn(state_b, opt_state, target_b, weights_b, scene_b):
+            return jitted(solver.ctx, scene_b, grid_b, state_b,
+                          opt_state, target_b, weights_b)
+    else:
+        def step(ctx_base, scene_b, state_b, opt_state, target_b,
+                 weights_b):
+            (_, per_clip), grads = jax.value_and_grad(
+                batched_loss, argnums=3, has_aux=True)(
+                    ctx_base, scene_b, None, state_b, target_b,
+                    weights_b)
+            state_b, opt_state = _update(grads, opt_state, state_b)
+            return state_b, opt_state, per_clip
+
+        jitted = jax.jit(
+            step,
+            in_shardings=(sh["replicated"], sh["scene"], sh["state"],
+                          None, sh["target"], sh["weights"]),
+            out_shardings=out_sh)
+
+        def step_fn(state_b, opt_state, target_b, weights_b, scene_b):
+            return jitted(solver.ctx, scene_b, state_b, opt_state,
+                          target_b, weights_b)
 
     def init_fn(state_b):
         return opt.init(state_b)

@@ -118,3 +118,60 @@ def test_pad_scenes_far_points():
     out = pad_scenes([a, b])
     assert out.shape == (2, 5, 3)
     assert np.all(out[1, 3:] == 1e6)
+
+
+def test_multi_clip_grid_nn_matches_single(setup):
+    """Batched voxel grids under vmap+sharding give the same per-clip
+    losses as single-clip grid solving."""
+    import jax.numpy as jnp
+    from fpv4d.ops import nn as NN
+
+    s, _ = setup
+    cfg = ClipConfig(num_iter=2, window=4, dct_num=2)
+    solver = ClipSolver(model=s["model"], vposer_params=s["vp"],
+                        scene_verts=np.asarray(s["scene"]),
+                        contact_vids=s["vids"],
+                        contact_vids_left=s["vids_l"],
+                        contact_vids_right=s["vids_r"],
+                        config=cfg, nn_impl="grid", grid_h=0.3)
+    C, T = 2, 8
+    bodies, cams, scenes = _batch(s, C, T)
+    mesh = SH.make_mesh({"clips": 2})
+    mc = MultiClipSolver(solver=solver, mesh=mesh, frame_axis=None)
+    state_b, target_b, weights_b = mc.init_batch(bodies, cams)
+    sb, tb, wb, scb = SH.shard_batch(mesh, state_b, target_b, weights_b,
+                                     jnp.asarray(scenes),
+                                     frame_axis=None)
+    grid_b = NN.build_voxel_grid_batch(
+        [np.asarray(s["scene"])] * C, h=0.3)
+    step_fn, init_fn = SH.build_sharded_step(solver, mesh, "local_a",
+                                             frame_axis=None,
+                                             grid_b=grid_b)
+    opt_state = init_fn(sb)
+    _, _, per_clip = step_fn(sb, opt_state, tb, wb, scb)
+    per_clip = np.asarray(per_clip)
+    for c in range(C):
+        state_c, target_c, w_c = solver.init_state(bodies[c], cams[c])
+        t = solver.terms(state_c, target_c, w_c)
+        expected = float(t.contact * solver.config.local_contact_mult
+                         + t.smooth + t.rec)
+        assert per_clip[c] == pytest.approx(expected, rel=1e-4)
+
+
+def test_multi_clip_fit_with_grid(setup):
+    import jax.numpy as jnp
+    s, _ = setup
+    cfg = ClipConfig(num_iter=4, window=4, dct_num=2)
+    solver = ClipSolver(model=s["model"], vposer_params=s["vp"],
+                        scene_verts=np.asarray(s["scene"]),
+                        contact_vids=s["vids"],
+                        contact_vids_left=s["vids_l"],
+                        contact_vids_right=s["vids_r"],
+                        config=cfg, nn_impl="grid", grid_h=0.3)
+    C, T = 2, 8
+    bodies, cams, scenes = _batch(s, C, T)
+    mesh = SH.make_mesh({"clips": 2})
+    mc = MultiClipSolver(solver=solver, mesh=mesh, frame_axis=None)
+    state_b, hist = mc.fit(bodies, cams, jnp.asarray(scenes),
+                           mode="global")
+    assert np.all(np.isfinite(hist["global_a"]))
