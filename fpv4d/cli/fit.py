@@ -23,6 +23,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iters", type=int, default=120)
     p.add_argument("--model", default="./models")
     p.add_argument("--vposer", default="./vposer")
+    p.add_argument("--no-hands", action="store_true",
+                   help="ignore hand keypoints even when present")
     return p
 
 
@@ -33,12 +35,19 @@ def main(argv=None) -> int:
     from fpv4d.io import body_pkl, keypoints
     from fpv4d.solve.keypoint_fit import fit_keypoints
 
-    kp = keypoints.load_clip_keypoints(args.keypoints_dir)
+    full = keypoints.load_clip_keypoints_full(args.keypoints_dir)
+    kp = full["pose"]
     if kp.shape[0] == 0:
         print(f"[fpv4d.fit] no keypoint JSONs in {args.keypoints_dir}",
               file=sys.stderr)
         return 1
-    print(f"[fpv4d.fit] {kp.shape[0]} frames of keypoints",
+    hands = {}
+    if not args.no_hands:
+        for side in ("hand_left", "hand_right"):
+            if full[side].size and full[side][..., 2].max() > 0:
+                hands[side] = full[side]
+    print(f"[fpv4d.fit] {kp.shape[0]} frames of keypoints"
+          + (f" (+{len(hands)} hand streams)" if hands else ""),
           file=sys.stderr)
 
     model = common.load_model(args.model)
@@ -46,7 +55,9 @@ def main(argv=None) -> int:
     cfg = KeypointFitConfig(focal_length=args.focal,
                             image_size=(args.width, args.height),
                             num_iter=args.iters)
-    params, hist = fit_keypoints(model, vp, kp, cfg)
+    params, hist = fit_keypoints(model, vp, kp, cfg,
+                                 hand_left=hands.get("hand_left"),
+                                 hand_right=hands.get("hand_right"))
     for name, h in hist.items():
         print(f"[fpv4d.fit] stage {name}: {h[0]:.2f} -> {h[-1]:.2f}",
               file=sys.stderr)

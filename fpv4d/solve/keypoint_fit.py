@@ -24,7 +24,7 @@ the same convention the reference's body_gen pkls use downstream
 """
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax
@@ -67,6 +67,17 @@ BODY25_FROM_SMPLX = np.array([
 ], dtype=np.int32)
 
 TORSO_BODY25 = np.array([1, 2, 5, 8, 9, 12], dtype=np.int32)
+
+# OpenPose hand-21 slot <- SMPL-X hand joint, per side. OpenPose hand
+# layout: 0 wrist, then 4 per finger (thumb 1-4, index 5-8, middle
+# 9-12, ring 13-16, pinky 17-20; the 4th of each is the fingertip,
+# which has no SMPL-X joint). SMPL-X hand joints (15/side) are ordered
+# index1-3, middle1-3, pinky1-3, ring1-3, thumb1-3 (left: 25-39,
+# right: 40-54).
+_HAND21_SLOTS = np.array([5, 6, 7, 9, 10, 11, 17, 18, 19, 13, 14, 15,
+                          1, 2, 3], dtype=np.int32)
+LHAND_SMPLX = np.arange(25, 40, dtype=np.int32)
+RHAND_SMPLX = np.arange(40, 55, dtype=np.int32)
 
 
 class FitVars(NamedTuple):
@@ -122,24 +133,58 @@ def init_camera_translation(keypoints: jnp.ndarray, rest_joints: jnp.ndarray,
 
 def fit_keypoints(model: SmplxModel, vposer_params: Dict[str, jnp.ndarray],
                   keypoints: jnp.ndarray,
-                  config: KeypointFitConfig = KeypointFitConfig()
+                  config: KeypointFitConfig = KeypointFitConfig(),
+                  hand_left: Optional[np.ndarray] = None,
+                  hand_right: Optional[np.ndarray] = None
                   ) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
     """Fit SMPL-X to OpenPose keypoints for a whole clip at once.
 
-    keypoints [T, 25, 3] (x, y, confidence) BODY_25 pixels.
+    keypoints [T, 25, 3] (x, y, confidence) BODY_25 pixels;
+    hand_left/hand_right optional [T, 21, 3] OpenPose hand keypoints —
+    when given, the 'all' stage adds hand-joint reprojection so the
+    PCA coefficients are data-driven (the external smplifyx stage fits
+    hands/face the same way, README.md:12 passes --hand to OpenPose).
     Returns ([T, 75] canonical params, history dict).
     """
     T = keypoints.shape[0]
     keypoints = jnp.asarray(keypoints, dtype=jnp.float32)
+    # fold hand keypoints into one [T, 25+15+15, 3] target array with
+    # per-joint smplx ids; missing hands contribute zero confidence
+    hand_targets = []
+    hand_ids = []
+    for kp_h, ids in ((hand_left, LHAND_SMPLX),
+                      (hand_right, RHAND_SMPLX)):
+        if kp_h is not None:
+            hand_targets.append(np.asarray(kp_h, np.float32)
+                                [:, _HAND21_SLOTS])
+            hand_ids.append(ids)
     center = jnp.asarray([config.image_size[0] / 2.0,
                           config.image_size[1] / 2.0], dtype=jnp.float32)
     focal = config.focal_length
 
     valid = BODY25_FROM_SMPLX >= 0
-    smplx_ids = jnp.asarray(np.where(valid, BODY25_FROM_SMPLX, 0))
-    base_w = jnp.asarray(valid.astype(np.float32))
-    torso_only = jnp.zeros(25).at[jnp.asarray(TORSO_BODY25)].set(1.0) \
-        * base_w
+    ids_np = np.where(valid, BODY25_FROM_SMPLX, 0)
+    w_np = valid.astype(np.float32)
+    torso_np = np.zeros(25, np.float32)
+    torso_np[TORSO_BODY25] = 1.0
+    torso_np *= w_np
+    kp_all = np.asarray(keypoints)
+    if hand_targets:
+        kp_all = np.concatenate([kp_all] + hand_targets, axis=1)
+        ids_np = np.concatenate([ids_np] + hand_ids)
+        n_hand = sum(len(i) for i in hand_ids)
+        w_np = np.concatenate([w_np, np.ones(n_hand, np.float32)])
+        torso_np = np.concatenate([torso_np, np.zeros(n_hand,
+                                                      np.float32)])
+        # body-stage weights exclude hands (fitted only in 'all')
+    body_np = w_np.copy()
+    if hand_targets:
+        body_np[25:] = 0.0
+    keypoints = jnp.asarray(kp_all, dtype=jnp.float32)
+    smplx_ids = jnp.asarray(ids_np)
+    base_w = jnp.asarray(w_np)
+    body_w = jnp.asarray(body_np)
+    torso_only = jnp.asarray(torso_np)
 
     rest = model(betas=jnp.zeros((1, model.num_betas)),
                  global_orient=jnp.zeros((1, 3)),
@@ -203,7 +248,7 @@ def fit_keypoints(model: SmplxModel, vposer_params: Dict[str, jnp.ndarray],
     hist = {}
     schedule = [
         ("camera", torso_only, _stage_mask(camera=True)),
-        ("body", base_w, _stage_mask(camera=True, body=True)),
+        ("body", body_w, _stage_mask(camera=True, body=True)),
         ("all", base_w, _stage_mask(camera=True, body=True, hands=True)),
     ][: config.stages]
     for name, joint_w, mask in schedule:

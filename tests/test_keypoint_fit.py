@@ -78,3 +78,54 @@ def test_gmof_robustifier():
     assert out[0] == 0.0
     assert out[1] == pytest.approx(100.0 ** 2 / (1 + 100.0 ** 2), rel=1e-5)
     assert out[2] <= 100.0 ** 2 + 1e-3   # saturates at rho^2
+
+
+def test_fit_with_hand_keypoints(setup):
+    """Hand keypoints drive the PCA coefficients toward ground truth."""
+    import jax.numpy as jnp
+    import numpy as np
+    from fpv4d.models import vposer as VP
+
+    model, vp, cfg = setup["model"], setup["vp"], setup["cfg"]
+    rng = np.random.RandomState(20)
+    T = 2
+    gt_lh = jnp.asarray(rng.randn(T, 12).astype(np.float32) * 1.0)
+    gt_rh = jnp.asarray(rng.randn(T, 12).astype(np.float32) * 1.0)
+    latent = jnp.asarray(rng.randn(T, 32).astype(np.float32) * 0.2)
+    cam_t = jnp.asarray(np.stack([np.zeros(T), np.zeros(T),
+                                  2.5 + 0.2 * rng.rand(T)], 1),
+                        jnp.float32)
+    pose63 = VP.decode(vp, latent)
+    out = model(betas=jnp.zeros((T, 10)), global_orient=jnp.zeros((T, 3)),
+                body_pose=pose63, left_hand_pose=gt_lh,
+                right_hand_pose=gt_rh)
+    j_cam = np.asarray(out["joints"]) + np.asarray(cam_t)[:, None]
+    center = jnp.asarray([cfg.image_size[0] / 2, cfg.image_size[1] / 2])
+
+    valid = KF.BODY25_FROM_SMPLX >= 0
+    body_ids = np.where(valid, KF.BODY25_FROM_SMPLX, 0)
+    body2d = np.asarray(KF.project(jnp.asarray(j_cam[:, body_ids]),
+                                   cfg.focal_length, center))
+    kp = np.concatenate([body2d, np.tile(
+        valid.astype(np.float32)[None, :, None], (T, 1, 1))], -1)
+
+    def hand_kp(ids):
+        h = np.zeros((T, 21, 3), np.float32)
+        j2d = np.asarray(KF.project(jnp.asarray(j_cam[:, ids]),
+                                    cfg.focal_length, center))
+        h[:, KF._HAND21_SLOTS, :2] = j2d
+        h[:, KF._HAND21_SLOTS, 2] = 1.0
+        return h
+
+    from fpv4d.config import KeypointFitConfig
+    cfg2 = KeypointFitConfig(num_iter=80, lr=0.02, weight_hand=0.001)
+    p_with, _ = KF.fit_keypoints(model, vp, kp, cfg2,
+                                 hand_left=hand_kp(KF.LHAND_SMPLX),
+                                 hand_right=hand_kp(KF.RHAND_SMPLX))
+    p_without, _ = KF.fit_keypoints(model, vp, kp, cfg2)
+    err_with = np.abs(p_with[:, 48:72] - np.concatenate(
+        [np.asarray(gt_lh), np.asarray(gt_rh)], 1)).mean()
+    err_without = np.abs(p_without[:, 48:72] - np.concatenate(
+        [np.asarray(gt_lh), np.asarray(gt_rh)], 1)).mean()
+    # hand keypoints must pull the PCA coefficients toward GT
+    assert err_with < err_without
