@@ -140,3 +140,24 @@ def test_cli_openpose_cmd(capsys):
     out = capsys.readouterr().out
     assert "--video vid.mp4" in out and "--write_json out/" in out
     assert "--face" in out and "--hand" in out
+
+
+def test_cli_multiopt(clip_dir, tmp_path):
+    from fpv4d.cli.multiopt import main
+    # two "clips" sharing the same body_gen layout
+    import shutil
+    c1 = tmp_path / "clipA"
+    c2 = tmp_path / "clipB"
+    for c in (c1, c2):
+        shutil.copytree(clip_dir / "body_gen", c / "body_gen")
+        shutil.copyfile(clip_dir / "scene.ply", c / "scene.ply")
+        shutil.copyfile(clip_dir / "camerapose.txt",
+                        c / "camerapose.txt")
+    rc = main([str(c1), str(c2), "--out", str(tmp_path / "out"),
+               "--mode", "global", "--iters", "4",
+               "--scene-name", "scene.ply", "--mesh", "clips=2",
+               "--model", "NONE", "--vposer", "NONE"])
+    assert rc == 0
+    for name in ("clipA", "clipB"):
+        pkls = list((tmp_path / "out" / name).glob("*.pkl"))
+        assert len(pkls) == 3
