@@ -45,6 +45,21 @@ def nan_debugging():
         debug_nans(False)
 
 
+def checked(fn, *args, **kwargs):
+    """Run `fn` under jax.experimental.checkify with the full check set
+    (NaN, div-by-zero, out-of-bounds indexing) and RAISE on the first
+    error — the bounds-checking complement to debug_nans (the
+    reference's only sanitizer is torch's autograd anomaly mode,
+    global_optimization.py:502)."""
+    from jax.experimental import checkify
+    checked_fn = checkify.checkify(
+        fn, errors=checkify.float_checks | checkify.index_checks
+        | checkify.div_checks)
+    err, out = checked_fn(*args, **kwargs)
+    err.throw()
+    return out
+
+
 @dataclass
 class StageTimer:
     """Wall-clock per named stage, with block_until_ready sync so

@@ -178,3 +178,21 @@ def test_world_view_renders_content(tmp_path):
     from PIL import Image
     img = np.asarray(Image.open(tmp_path / "r" / "img_000.png"))
     assert (img.sum(-1) > 0).mean() > 0.0003  # not a black frame
+
+
+def test_checked_catches_oob_and_nan():
+    from fpv4d.utils.observability import checked
+
+    def oob(x):
+        return x[jnp.asarray(10)]     # out of bounds for len-3 input
+
+    with pytest.raises(Exception):
+        checked(oob, jnp.ones(3))
+
+    def nan_fn(x):
+        return jnp.log(x)
+
+    with pytest.raises(Exception):
+        checked(nan_fn, jnp.asarray(-1.0))
+    # clean functions pass through
+    assert float(checked(lambda x: x * 2, jnp.asarray(3.0))) == 6.0
