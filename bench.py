@@ -48,7 +48,22 @@ def main():
     print(f"[bench] backend={backend} T={T} V={num_verts} "
           f"scene={scene_pts} iters={num_iter}", file=sys.stderr)
 
-    model = jsmplx.synthetic_model(num_verts=num_verts, seed=0)
+    # the synthetic model takes ~20s of single-core numpy to generate;
+    # cache its arrays next to the compilation cache
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    model_cache = os.path.join(cache_dir, f"synthmodel_{num_verts}.npz")
+    if os.path.exists(model_cache):
+        data = np.load(model_cache)
+        model = jsmplx.SmplxModel(
+            **{k: jnp.asarray(data[k]) for k in jsmplx.SmplxModel._LEAVES},
+            faces=data["faces"])
+    else:
+        model = jsmplx.synthetic_model(num_verts=num_verts, seed=0)
+        np.savez(model_cache, faces=model.faces,
+                 **{k: np.asarray(getattr(model, k))
+                    for k in jsmplx.SmplxModel._LEAVES})
     vp = vposer.random_params(seed=0)
     rng = np.random.RandomState(0)
 
