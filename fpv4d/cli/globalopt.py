@@ -42,7 +42,6 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
     from fpv4d.config import ClipConfig
     from fpv4d.io import body_pkl, colmap
-    from fpv4d.ops import contact as C
     from fpv4d.solve.clip_solve import ClipSolver
 
     body = body_pkl.load_clip(args.body_path)

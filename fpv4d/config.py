@@ -5,7 +5,7 @@ reference scatters across inline dicts and hardcoded stage multipliers
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Sequence, Tuple
+from typing import Tuple
 
 
 @dataclass(frozen=True)

@@ -16,7 +16,6 @@ Conventions match the reference exactly:
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 _EPS = 1e-8

@@ -12,7 +12,6 @@ Covers:
 """
 from __future__ import annotations
 
-import os
 from typing import List, Sequence, Tuple
 
 import numpy as np

@@ -7,8 +7,7 @@ properties (x, y, z [+ extras]) and triangle faces.
 """
 from __future__ import annotations
 
-import struct
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

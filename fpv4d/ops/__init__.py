@@ -1,2 +1,2 @@
-from fpv4d.ops import chamfer_ref, chamfer_pallas, contact, losses
-from fpv4d.ops.chamfer_pallas import nn_distance
+from fpv4d.ops import chamfer_ref, chamfer_pallas, contact, losses, nn
+from fpv4d.ops.nn import nn_distance  # unified dispatcher (grid/pallas/xla)

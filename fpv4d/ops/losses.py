@@ -6,8 +6,6 @@ everything into a single compiled step.
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax.numpy as jnp
 
 from fpv4d.core.dct import dct_basis

@@ -10,7 +10,7 @@ far away so they never win a nearest-neighbor query).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
 
-from fpv4d.config import ClipConfig
 from fpv4d.core import rotations
 from fpv4d.solve.clip_solve import ClipSolver, ClipState
 from fpv4d.parallel import sharding as SH

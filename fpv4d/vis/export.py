@@ -2,7 +2,6 @@
 DIVX 30 fps repack of the vis PNG folders)."""
 from __future__ import annotations
 
-import os
 from typing import Optional, Tuple
 
 from fpv4d.io.video import pack_frames_to_video
