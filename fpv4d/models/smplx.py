@@ -193,29 +193,49 @@ class SmplxModel:
         # 1. shape + expression blendshapes (MXU matmuls)
         shape_feat = jnp.concatenate([betas, expression], axis=-1)
         dirs = jnp.concatenate([self.shapedirs, self.exprdirs], axis=-1)
-        v_shaped = self.v_template + jnp.einsum(
-            "vcs,bs->bvc", dirs, shape_feat)
+        V = dirs.shape[0]
 
-        # 2. rest joints from the (full) shaped mesh
-        j_rest = jnp.einsum("jv,bvc->bjc", self.j_regressor, v_shaped)
+        # 2. rest joints WITHOUT materializing the full shaped mesh:
+        # J_reg @ (template + dirs . feat) = J_reg@template
+        #   + (J_reg (.) dirs) . feat — the composed [S, J*3] table is
+        # loop-invariant (XLA hoists it out of the solver scan), so
+        # per step this is a tiny [B,S]@[S,165] matmul instead of a
+        # [B,V,3]-sized elementwise pass over 10k vertices
+        j_template = jnp.einsum("jv,vc->jc", self.j_regressor,
+                                self.v_template)             # [J,3]
+        j_dirs = jnp.einsum("jv,vcs->sjc", self.j_regressor,
+                            dirs).reshape(dirs.shape[-1], -1)  # [S,J*3]
+        j_rest = j_template + jnp.matmul(shape_feat, j_dirs).reshape(
+            B, NUM_JOINTS, 3)
 
-        # restrict the skinning path to the requested vertex subset
+        # shaped vertices + skinning tables, restricted to the subset
+        # the caller actually reads
         if vertex_subset is not None:
             sub = np.asarray(vertex_subset)
-            v_shaped = v_shaped[:, sub]
+            template = self.v_template[sub]
+            dirs_sub = dirs[sub]
             cols = (sub[:, None] * 3 + np.arange(3)).reshape(-1)
             posedirs = self.posedirs[:, cols]
             lbs_weights = self.lbs_weights[sub]
+            Vs = len(sub)
         else:
+            template = self.v_template
+            dirs_sub = dirs
             posedirs = self.posedirs
             lbs_weights = self.lbs_weights
+            Vs = V
+        # explicit [B,S]@[S,Vs*3] matmul (the einsum form lowers to a
+        # VPU multiply-reduce fusion on TPU)
+        dirs2d = dirs_sub.reshape(Vs * 3, -1).T       # [S, Vs*3]
+        v_shaped = template + jnp.matmul(shape_feat, dirs2d).reshape(
+            -1, Vs, 3)
 
         # 3. per-joint rotation matrices + pose blendshapes
         rot_mats = aa_to_matrot(full_pose)                  # [B,55,3,3]
         eye = jnp.eye(3, dtype=dtype)
         pose_feat = (rot_mats[:, 1:] - eye).reshape(B, -1)  # [B,(J-1)*9]
-        v_posed = v_shaped + jnp.einsum(
-            "pn,bp->bn", posedirs, pose_feat).reshape(B, -1, 3)
+        v_posed = v_shaped + jnp.matmul(
+            pose_feat, posedirs).reshape(B, -1, 3)
 
         # 4. forward kinematics along the (static) parent chain
         joints_world, rel_transforms = batch_rigid_transform(
