@@ -385,10 +385,16 @@ class ClipSolver:
     # -- public API ------------------------------------------------------------
 
     def fit(self, body_75: jnp.ndarray, camera_ext: jnp.ndarray,
-            mode: str = "local", verbose: bool = False
+            mode: str = "local", verbose: bool = False,
+            checkpoint_dir: Optional[str] = None
             ) -> Tuple[ClipState, Dict[str, np.ndarray]]:
         """Run the staged solve. body_75 [T,75] packed SMPLify-X
         outputs; camera_ext [T,4,4] COLMAP world-from-camera init.
+
+        checkpoint_dir: if given, the solver state + Adam moments are
+        orbax-checkpointed after every phase (mid-optimization resume —
+        the reference can only resume at stage-directory granularity,
+        SURVEY.md section 5).
 
         Returns the final state and a history dict of per-step losses.
         Phase schedule mirrors fitting() (global_optimization.py:491-635).
@@ -399,39 +405,54 @@ class ClipSolver:
         opt_state = self._opt.init(state)
         hist: Dict[str, np.ndarray] = {}
 
+        def ckpt(state, opt_state, tag):
+            if checkpoint_dir:
+                import os
+                from fpv4d.utils.checkpoint import save_solver_state
+                save_solver_state(os.path.join(checkpoint_dir, tag),
+                                  state, opt_state,
+                                  step=sum(len(v) for v in hist.values()))
+
         if mode == "local":
             n_a = int(cfg.num_iter * cfg.stage_split)
             n_b = cfg.num_iter - n_a
             state, opt_state, h = self._run_phase(
                 state, opt_state, target_6d, frame_weights, n_a, "local_a")
             hist["local_a"] = np.asarray(h)
+            ckpt(state, opt_state, "local_a")
             state, opt_state, h = self._run_phase(
                 state, opt_state, target_6d, frame_weights, n_b, "local_b")
             hist["local_b"] = np.asarray(h)
+            ckpt(state, opt_state, "local_b")
             weight_right = self.detect_contact(state)
             n_c = int(cfg.contact_phase_frac * cfg.num_iter)
             state, opt_state, h = self._run_skate_phase(
                 state, opt_state, target_6d, frame_weights, n_c,
                 weight_right)
             hist["local_skate"] = np.asarray(h)
+            ckpt(state, opt_state, "local_skate")
         elif mode == "global":
             n_a = int(cfg.num_iter * cfg.stage_split)
             n_b = cfg.num_iter - n_a
             state, opt_state, h = self._run_phase(
                 state, opt_state, target_6d, frame_weights, n_a, "global_a")
             hist["global_a"] = np.asarray(h)
+            ckpt(state, opt_state, "global_a")
             state, opt_state, h = self._run_phase(
                 state, opt_state, target_6d, frame_weights, n_b, "global_b")
             hist["global_b"] = np.asarray(h)
+            ckpt(state, opt_state, "global_b")
         elif mode == "dct":
             n = cfg.num_iter_dct
             n_a = int(n * cfg.dct_split)
             state, opt_state, h = self._run_phase(
                 state, opt_state, target_6d, frame_weights, n_a, "dct_a")
             hist["dct_a"] = np.asarray(h)
+            ckpt(state, opt_state, "dct_a")
             state, opt_state, h = self._run_phase(
                 state, opt_state, target_6d, frame_weights, n - n_a, "dct_b")
             hist["dct_b"] = np.asarray(h)
+            ckpt(state, opt_state, "dct_b")
         else:
             raise ValueError(f"unknown mode {mode!r}")
 

@@ -122,3 +122,24 @@ def test_detect_contact_weights(solver, scenario):
     assert np.all((w >= 0) & (w <= 1))
     # weights must not be the constant 0.5 of the reference's bug
     assert np.abs(w - 0.5).max() > 1e-6
+
+
+def test_fit_checkpoints_phases(solver, scenario, tmp_path):
+    import os
+    final, hist = solver.fit(scenario["body"], scenario["camera_ext"],
+                             mode="global",
+                             checkpoint_dir=str(tmp_path / "ck"))
+    assert os.path.isdir(tmp_path / "ck" / "global_a")
+    assert os.path.isdir(tmp_path / "ck" / "global_b")
+    # restorable
+    import optax
+    from fpv4d.utils.checkpoint import load_solver_state
+    state0, _, _ = solver.init_state(scenario["body"],
+                                     scenario["camera_ext"])
+    template = {"state": state0,
+                "opt_state": solver._opt.init(state0),
+                "step": np.int64(0)}
+    s2, o2, step = load_solver_state(str(tmp_path / "ck" / "global_b"),
+                                     template)
+    np.testing.assert_allclose(np.asarray(s2.body_6d),
+                               np.asarray(final.body_6d), atol=1e-6)
