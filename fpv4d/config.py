@@ -38,6 +38,10 @@ class ClipConfig:
     stage_split: float = 0.8              # :505/:517 phase boundary
     contact_phase_frac: float = 0.4       # :536 second local phase
     dct_split: float = 0.95               # :601/:614
+    # closed-form DCT-coefficient init (orthonormal projection of the
+    # initial joint trajectories) instead of the reference's zero/randn
+    # start — dct_a then starts near its optimum
+    dct_closed_form_init: bool = False
 
 
 @dataclass(frozen=True)

@@ -274,13 +274,22 @@ class ClipSolver:
         body_init, target_6d, weights = self._compiled["init_state"](
             body_75)
         num_windows = T // cfg.window
+        c_dct = jnp.zeros((num_windows, cfg.num_dct_joints, 3,
+                           cfg.dct_num), dtype=jnp.float32)
         state = ClipState(
             body_6d=body_init,
             scale=jnp.asarray(cfg.scale_init, dtype=jnp.float32),
             camera_ext=camera_ext.astype(jnp.float32),
-            c_dct=jnp.zeros((num_windows, cfg.num_dct_joints, 3,
-                             cfg.dct_num), dtype=jnp.float32),
+            c_dct=c_dct,
         )
+        if cfg.dct_closed_form_init:
+            # project the INITIAL world joint trajectories onto the
+            # orthonormal DCT basis — phase dct_a then starts at the
+            # least-squares optimum for the initial pose sequence
+            _, joints_w, _ = forward_world(self.ctx, state)
+            state = state._replace(c_dct=losses.dct_encode(
+                joints_w[:, :cfg.num_dct_joints], cfg.window,
+                cfg.dct_num))
         return state, target_6d, weights
 
     # -- phase runner ----------------------------------------------------------

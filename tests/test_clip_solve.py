@@ -143,3 +143,22 @@ def test_fit_checkpoints_phases(solver, scenario, tmp_path):
                                      template)
     np.testing.assert_allclose(np.asarray(s2.body_6d),
                                np.asarray(final.body_6d), atol=1e-6)
+
+
+def test_dct_closed_form_init(scenario):
+    from fpv4d.ops import losses as L
+    cfg = ClipConfig(num_iter=4, num_iter_dct=6, window=6, dct_num=3,
+                     dct_closed_form_init=True)
+    s = scenario
+    solver2 = ClipSolver(model=s["model"], vposer_params=s["vp"],
+                         scene_verts=s["scene"], contact_vids=s["vids"],
+                         contact_vids_left=s["vids_l"],
+                         contact_vids_right=s["vids_r"],
+                         config=cfg, use_pallas=False)
+    state, target, w = solver2.init_state(s["body"], s["camera_ext"])
+    assert float(jnp.abs(state.c_dct).max()) > 0
+    # the DCT term starts far lower than with a zero init
+    t_cf = solver2.terms(state, target, w)
+    zero_state = state._replace(c_dct=jnp.zeros_like(state.c_dct))
+    t_zero = solver2.terms(zero_state, target, w)
+    assert float(t_cf.dct) < 0.5 * float(t_zero.dct)
