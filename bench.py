@@ -127,6 +127,42 @@ def main():
         print(f"[bench]   {k}: {v[0]:.4f} -> {v[-1]:.4f}",
               file=sys.stderr)
 
+    # secondary headline (stderr): frames/sec of SMPL-X keypoint
+    # fitting per chip — the fit-from-keypoints entry point (the
+    # reference's external smplifyx stage takes "up to several hours"
+    # per 300-frame clip, README.md:14)
+    try:
+        from fpv4d.config import KeypointFitConfig
+        from fpv4d.solve.keypoint_fit import fit_keypoints, project, \
+            BODY25_FROM_SMPLX
+        from fpv4d.models import vposer as VPm
+        kcfg = KeypointFitConfig(num_iter=10 if small else 120)
+        valid = BODY25_FROM_SMPLX >= 0
+        ids = np.where(valid, BODY25_FROM_SMPLX, 0)
+        lat = jnp.asarray(rng.randn(T, 32).astype(np.float32) * 0.3)
+        out_gt = model(betas=jnp.zeros((T, 10)),
+                       global_orient=jnp.zeros((T, 3)),
+                       body_pose=VPm.decode(vp, lat))
+        j_cam = np.asarray(out_gt["joints"])[:, ids] + np.array(
+            [0.0, 0.0, 3.0], np.float32)
+        center = jnp.asarray([kcfg.image_size[0] / 2,
+                              kcfg.image_size[1] / 2])
+        j2d = np.asarray(project(jnp.asarray(j_cam), kcfg.focal_length,
+                                 center))
+        kp = np.concatenate(
+            [j2d, np.tile(valid.astype(np.float32)[None, :, None],
+                          (T, 1, 1))], -1)
+        fit_keypoints(model, vp, kp, kcfg)      # compile
+        t0 = time.perf_counter()
+        fit_keypoints(model, vp, kp, kcfg)
+        dt_fit = time.perf_counter() - t0
+        print(f"[bench] keypoint fit: {T} frames x "
+              f"{3 * kcfg.num_iter} steps in {dt_fit:.2f}s -> "
+              f"{T / dt_fit:.0f} frames/s per chip", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] keypoint-fit secondary metric skipped: {e}",
+              file=sys.stderr)
+
     print(json.dumps({
         "metric": f"clip_joint_opt_{T}f_local_mode_wallclock",
         "value": round(dt, 3),
