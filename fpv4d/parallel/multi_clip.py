@@ -61,10 +61,10 @@ class MultiClipSolver:
             ) -> Tuple[ClipState, Dict[str, np.ndarray]]:
         """Run the full staged schedule for every clip at once.
         bodies [C,T,75], camera_exts [C,T,4,4], scenes [C,M,3]
-        (pre-padded). The skate phase of 'local' mode is approximated
-        by continuing 'local_b' (per-foot weights are per-clip
-        diagnostics; exact parity is available clip-by-clip via
-        ClipSolver)."""
+        (pre-padded). Same phase schedule as ClipSolver.fit — including
+        the 'local' anti-foot-skate phase with per-clip planted-foot
+        weights — with every phase compiled as ONE jitted lax.scan of
+        sharded steps (no host dispatch inside the hot loop)."""
         cfg = self.solver.config
         state_b, target_b, weights_b = self.init_batch(bodies, camera_exts)
         state_b, target_b, weights_b, scene_b = (
@@ -85,14 +85,14 @@ class MultiClipSolver:
                 raw, h=self.solver.grid_h,
                 slots_per_cell=self.solver.grid_slots)
 
+        n_a = int(cfg.num_iter * cfg.stage_split)
         if mode == "local":
-            schedule = [("local_a", int(cfg.num_iter * cfg.stage_split)),
-                        ("local_b", cfg.num_iter
-                         - int(cfg.num_iter * cfg.stage_split))]
+            schedule = [("local_a", n_a), ("local_b", cfg.num_iter - n_a),
+                        ("skate", int(cfg.contact_phase_frac
+                                      * cfg.num_iter))]
         elif mode == "global":
-            schedule = [("global_a", int(cfg.num_iter * cfg.stage_split)),
-                        ("global_b", cfg.num_iter
-                         - int(cfg.num_iter * cfg.stage_split))]
+            schedule = [("global_a", n_a),
+                        ("global_b", cfg.num_iter - n_a)]
         elif mode == "dct":
             n = cfg.num_iter_dct
             schedule = [("dct_a", int(n * cfg.dct_split)),
@@ -103,18 +103,24 @@ class MultiClipSolver:
         hist = {}
         opt_state = None
         for phase, steps in schedule:
+            if steps <= 0:
+                continue
             step_fn, init_fn = SH.build_sharded_step(
                 self.solver, self.mesh, phase, self.clip_axis,
-                self.frame_axis, grid_b=grid_b)
+                self.frame_axis, grid_b=grid_b, num_steps=steps)
             if opt_state is None:
                 opt_state = init_fn(state_b)
-            per_phase = []
-            for _ in range(steps):
-                state_b, opt_state, per_clip = step_fn(
-                    state_b, opt_state, target_b, weights_b, scene_b)
-                per_phase.append(per_clip)
-            hist[phase] = np.asarray(jnp.stack(per_phase)) \
-                if per_phase else np.zeros((0,))
+            extra_b = None
+            if phase == "skate":
+                detect = SH.build_sharded_detect_contact(
+                    self.solver, self.mesh, self.clip_axis,
+                    self.frame_axis, grid_b=grid_b)
+                extra_b = detect(state_b, scene_b)
+            state_b, opt_state, h = step_fn(
+                state_b, opt_state, target_b, weights_b, scene_b,
+                extra_b)
+            key = "local_skate" if phase == "skate" else phase
+            hist[key] = np.asarray(h)
         return state_b, hist
 
     def result_params(self, state_b: ClipState

@@ -73,109 +73,214 @@ def clip_batch_shardings(mesh: Mesh, clip_axis: str = "clips",
     )
 
 
+def _per_clip_loss(solver: ClipSolver, phase: str):
+    """Per-clip loss closure for a phase. `extra` threads phase-specific
+    per-clip data ('skate' needs the planted-foot weights [T])."""
+    if phase == "skate":
+        def loss(state, target, weights, extra, ctx):
+            rec, local_s, vert_s, skate = solver.terms2(
+                state, target, weights, extra, ctx)
+            return vert_s + local_s + rec + skate
+    else:
+        def loss(state, target, weights, extra, ctx):
+            return solver.phase_loss(phase, state, target, weights, ctx)
+    return loss
+
+
 def build_sharded_step(solver: ClipSolver, mesh: Mesh, phase: str = "local_a",
                        clip_axis: str = "clips",
                        frame_axis: Optional[str] = "frames",
-                       grid_b=None):
-    """One full training step (loss -> grad -> Adam update) of the
-    clip solve, batched over clips and jitted over the mesh with 2-D
-    (clips x frames) shardings. XLA inserts the halo exchanges for the
-    temporal-difference terms and keeps everything else local.
+                       grid_b=None, num_steps: int = 1):
+    """One optimization phase of the clip solve, batched over clips and
+    jitted over the mesh with 2-D (clips x frames) shardings: num_steps
+    Adam steps compiled as a single `lax.scan` (no host round-trips —
+    same structure as ClipSolver._run_phase). XLA inserts the halo
+    exchanges for the temporal-difference terms and keeps everything
+    else local.
 
     grid_b: optional batched VoxelGrid (fpv4d.ops.nn.build_voxel_grid_batch,
     leading clip axis) — enables the voxel-accelerated contact path
     per clip; without it the contact term uses brute XLA NN.
 
+    phase='skate' runs the anti-foot-skate objective (terms2); its
+    step_fn then takes the planted-foot weights as a trailing [C,T]
+    argument (see build_sharded_detect_contact).
+
     Returns (step_fn, init_fn):
       init_fn(state_batch) -> opt_state (sharded like the state)
-      step_fn(state, opt_state, target, weights, scene) ->
-          (state', opt_state', loss [C])
+      step_fn(state, opt_state, target, weights, scene[, weight_right])
+          -> (state', opt_state', loss_hist [num_steps, C])
     """
     from fpv4d.ops import nn as NN
 
     sh = clip_batch_shardings(mesh, clip_axis, frame_axis)
     opt = solver._opt
-    mask = solver.phase_mask(phase)
+    mask = (_skate_mask() if phase == "skate"
+            else solver.phase_mask(phase))
     use_grid = grid_b is not None and solver.nn_impl == "grid"
+    clip_loss = _per_clip_loss(solver, phase)
+    extra_ax = 0 if phase == "skate" else None
+    f = frame_axis if (frame_axis and frame_axis in mesh.axis_names) \
+        else None
 
     def batched_loss(ctx_base, scene_b, grid_b, state_b, target_b,
-                     weights_b):
+                     weights_b, extra_b):
         # per-clip scene/grid ride the vmapped axes; the shared model
         # tables broadcast (in_axes=None leaves)
         if use_grid:
-            def per_clip(scene, grid_c, state, target, weights):
+            def per_clip(scene, grid_c, state, target, weights, extra):
                 ctx = Ctx(model=ctx_base.model, vposer=ctx_base.vposer,
                           scene=scene, grid=grid_c)
-                return solver.phase_loss(phase, state, target, weights,
-                                         ctx)
+                return clip_loss(state, target, weights, extra, ctx)
 
             losses = jax.vmap(
                 per_clip,
-                in_axes=(0, NN.grid_axes(grid_b), 0, 0, 0))(
-                    scene_b, grid_b, state_b, target_b, weights_b)
+                in_axes=(0, NN.grid_axes(grid_b), 0, 0, 0, extra_ax))(
+                    scene_b, grid_b, state_b, target_b, weights_b,
+                    extra_b)
         else:
-            def per_clip(scene, state, target, weights):
+            def per_clip(scene, state, target, weights, extra):
                 ctx = Ctx(model=ctx_base.model, vposer=ctx_base.vposer,
                           scene=scene)
-                return solver.phase_loss(phase, state, target, weights,
-                                         ctx)
+                return clip_loss(state, target, weights, extra, ctx)
 
-            losses = jax.vmap(per_clip)(scene_b, state_b, target_b,
-                                        weights_b)
+            losses = jax.vmap(
+                per_clip, in_axes=(0, 0, 0, 0, extra_ax))(
+                    scene_b, state_b, target_b, weights_b, extra_b)
         return jnp.sum(losses), losses
 
-    def _update(grads, opt_state, state_b):
-        grads = jax.tree.map(lambda g, m: g * m, grads, mask)
-        updates, opt_state = opt.update(grads, opt_state, state_b)
-        return optax.apply_updates(state_b, updates), opt_state
-
-    out_sh = (sh["state"], None, NamedSharding(mesh, P(clip_axis)))
-
-    if use_grid:
-        def step(ctx_base, scene_b, grid_arg, state_b, opt_state,
-                 target_b, weights_b):
+    def phase_scan(ctx_base, scene_b, grid_arg, state_b, opt_state,
+                   target_b, weights_b, extra_b):
+        def one_step(carry, _):
+            state_b, opt_state = carry
             (_, per_clip), grads = jax.value_and_grad(
                 batched_loss, argnums=3, has_aux=True)(
                     ctx_base, scene_b, grid_arg, state_b, target_b,
-                    weights_b)
-            state_b, opt_state = _update(grads, opt_state, state_b)
-            return state_b, opt_state, per_clip
+                    weights_b, extra_b)
+            grads = jax.tree.map(lambda g, m: g * m, grads, mask)
+            updates, opt_state = opt.update(grads, opt_state, state_b)
+            state_b = optax.apply_updates(state_b, updates)
+            return (state_b, opt_state), per_clip
 
+        (state_b, opt_state), hist = jax.lax.scan(
+            one_step, (state_b, opt_state), None, length=num_steps)
+        return state_b, opt_state, hist
+
+    out_sh = (sh["state"], None, NamedSharding(mesh, P(None, clip_axis)))
+    extra_sh = (NamedSharding(mesh, P(clip_axis, f)) if phase == "skate"
+                else sh["replicated"])
+    zero_extra = jnp.zeros((), jnp.float32)
+
+    if use_grid:
         grid_sharding = jax.tree.map(
             lambda _: NamedSharding(mesh, P(clip_axis)), grid_b)
         jitted = jax.jit(
-            step,
+            phase_scan,
             in_shardings=(sh["replicated"], sh["scene"], grid_sharding,
-                          sh["state"], None, sh["target"], sh["weights"]),
+                          sh["state"], None, sh["target"], sh["weights"],
+                          extra_sh),
             out_shardings=out_sh)
 
-        def step_fn(state_b, opt_state, target_b, weights_b, scene_b):
+        def step_fn(state_b, opt_state, target_b, weights_b, scene_b,
+                    extra_b=None):
             return jitted(solver.ctx, scene_b, grid_b, state_b,
-                          opt_state, target_b, weights_b)
+                          opt_state, target_b, weights_b,
+                          zero_extra if extra_b is None else extra_b)
     else:
-        def step(ctx_base, scene_b, state_b, opt_state, target_b,
-                 weights_b):
-            (_, per_clip), grads = jax.value_and_grad(
-                batched_loss, argnums=3, has_aux=True)(
-                    ctx_base, scene_b, None, state_b, target_b,
-                    weights_b)
-            state_b, opt_state = _update(grads, opt_state, state_b)
-            return state_b, opt_state, per_clip
+        def no_grid(ctx_base, scene_b, state_b, opt_state, target_b,
+                    weights_b, extra_b):
+            return phase_scan(ctx_base, scene_b, None, state_b,
+                              opt_state, target_b, weights_b, extra_b)
 
         jitted = jax.jit(
-            step,
+            no_grid,
             in_shardings=(sh["replicated"], sh["scene"], sh["state"],
-                          None, sh["target"], sh["weights"]),
+                          None, sh["target"], sh["weights"], extra_sh),
             out_shardings=out_sh)
 
-        def step_fn(state_b, opt_state, target_b, weights_b, scene_b):
+        def step_fn(state_b, opt_state, target_b, weights_b, scene_b,
+                    extra_b=None):
             return jitted(solver.ctx, scene_b, state_b, opt_state,
-                          target_b, weights_b)
+                          target_b, weights_b,
+                          zero_extra if extra_b is None else extra_b)
 
     def init_fn(state_b):
         return opt.init(state_b)
 
     return step_fn, init_fn
+
+
+def _skate_mask() -> ClipState:
+    return ClipState(body_6d=1.0, scale=0.0, camera_ext=0.0, c_dct=0.0)
+
+
+def build_sharded_detect_contact(solver: ClipSolver, mesh: Mesh,
+                                 clip_axis: str = "clips",
+                                 frame_axis: Optional[str] = "frames",
+                                 grid_b=None):
+    """Batched planted-foot weights: [C] clips -> weight_right [C, T]
+    (per-clip ClipSolver.detect_contact, sharded over the mesh)."""
+    from fpv4d.ops import nn as NN
+    from fpv4d.core import transforms as _  # noqa: F401 (doc parity)
+    from fpv4d.ops import losses as L
+    from fpv4d.solve.clip_solve import forward_world
+
+    sh = clip_batch_shardings(mesh, clip_axis, frame_axis)
+    use_grid = grid_b is not None and solver.nn_impl == "grid"
+    n_left = len(solver.contact_vids_left)
+    feet = np.concatenate([solver.contact_vids_left,
+                           solver.contact_vids_right])
+    f = frame_axis if (frame_axis and frame_axis in mesh.axis_names) \
+        else None
+
+    def per_clip(ctx, state):
+        verts_w, _, _ = forward_world(ctx, state, vertex_subset=feet)
+        d_l = jnp.mean(solver._nn(verts_w[:, :n_left], ctx.scene,
+                                  ctx.grid), axis=1)
+        d_r = jnp.mean(solver._nn(verts_w[:, n_left:], ctx.scene,
+                                  ctx.grid), axis=1)
+        return L.planted_foot_weight(d_l, d_r)
+
+    def batched(ctx_base, scene_b, grid_arg, state_b):
+        if use_grid:
+            def one(scene, grid_c, state):
+                return per_clip(Ctx(model=ctx_base.model,
+                                    vposer=ctx_base.vposer,
+                                    scene=scene, grid=grid_c), state)
+            return jax.vmap(one, in_axes=(0, NN.grid_axes(grid_arg), 0))(
+                scene_b, grid_arg, state_b)
+
+        def one(scene, state):
+            return per_clip(Ctx(model=ctx_base.model,
+                                vposer=ctx_base.vposer, scene=scene),
+                            state)
+        return jax.vmap(one)(scene_b, state_b)
+
+    out_sh = NamedSharding(mesh, P(clip_axis, f))
+    if use_grid:
+        grid_sharding = jax.tree.map(
+            lambda _: NamedSharding(mesh, P(clip_axis)), grid_b)
+        jitted = jax.jit(batched,
+                         in_shardings=(sh["replicated"], sh["scene"],
+                                       grid_sharding, sh["state"]),
+                         out_shardings=out_sh)
+
+        def run(state_b, scene_b):
+            return jax.lax.stop_gradient(
+                jitted(solver.ctx, scene_b, grid_b, state_b))
+    else:
+        def no_grid(ctx_base, scene_b, state_b):
+            return batched(ctx_base, scene_b, None, state_b)
+
+        jitted = jax.jit(no_grid,
+                         in_shardings=(sh["replicated"], sh["scene"],
+                                       sh["state"]),
+                         out_shardings=out_sh)
+
+        def run(state_b, scene_b):
+            return jax.lax.stop_gradient(
+                jitted(solver.ctx, scene_b, state_b))
+    return run
 
 
 def shard_batch(mesh: Mesh, state_b: ClipState, target_b, weights_b,

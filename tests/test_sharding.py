@@ -59,9 +59,9 @@ def test_sharded_step_matches_unsharded(setup):
                                      jnp.asarray(scenes))
     step_fn, init_fn = SH.build_sharded_step(solver, mesh, "local_a")
     opt_state = init_fn(sb)
-    sb1, _, per_clip = step_fn(sb, opt_state, tb, wb, scb)
-    per_clip = np.asarray(per_clip)
-    assert per_clip.shape == (C,)
+    sb1, _, hist = step_fn(sb, opt_state, tb, wb, scb)
+    assert np.asarray(hist).shape == (1, C)
+    per_clip = np.asarray(hist)[0]
     assert np.all(np.isfinite(per_clip))
 
     # per-clip losses must match the single-clip solver's loss exactly
@@ -88,9 +88,10 @@ def test_frame_axis_sharding_changes_nothing(setup):
                                          weights_b, jnp.asarray(scenes),
                                          frame_axis=frame_axis)
         step_fn, init_fn = SH.build_sharded_step(solver, mesh, "local_a",
-                                                 frame_axis=frame_axis)
+                                                 frame_axis=frame_axis,
+                                                 num_steps=2)
         opt_state = init_fn(sb)
-        sb1, _, per_clip = step_fn(sb, opt_state, tb, wb, scb)
+        sb1, _, _ = step_fn(sb, opt_state, tb, wb, scb)
         results.append(np.asarray(sb1.body_6d))
     np.testing.assert_allclose(results[0], results[1], atol=1e-5)
 
@@ -110,6 +111,31 @@ def test_multi_clip_fit_runs(setup):
     body0, scale0, cam0 = results[0]
     assert body0.shape == (T, 75)
     assert np.isfinite(scale0)
+
+
+def test_multi_clip_fit_matches_per_clip(setup):
+    """Full 'local' multi-clip fit (incl. the sharded skate phase)
+    reproduces per-clip ClipSolver.fit trajectories: independent clips
+    summed into one objective have identical per-clip gradients, and
+    Adam is elementwise, so the paths must match."""
+    s, solver = setup
+    C, T = 2, 8
+    bodies, cams, scenes = _batch(s, C, T)
+    mesh = SH.make_mesh({"clips": 2})
+    mc = MultiClipSolver(solver=solver, mesh=mesh, frame_axis=None)
+    state_b, hist = mc.fit(bodies, cams, jnp.asarray(scenes),
+                           mode="local")
+    assert set(hist) == {"local_a", "local_b", "local_skate"}
+    for c in range(C):
+        state_c, hist_c = solver.fit(bodies[c], cams[c], mode="local")
+        np.testing.assert_allclose(np.asarray(state_b.body_6d[c]),
+                                   np.asarray(state_c.body_6d),
+                                   atol=2e-5)
+        np.testing.assert_allclose(float(state_b.scale[c]),
+                                   float(state_c.scale), atol=2e-5)
+        for k in hist_c:
+            np.testing.assert_allclose(hist[k][:, c], hist_c[k],
+                                       atol=2e-5)
 
 
 def test_pad_scenes_far_points():
@@ -148,8 +174,8 @@ def test_multi_clip_grid_nn_matches_single(setup):
                                              frame_axis=None,
                                              grid_b=grid_b)
     opt_state = init_fn(sb)
-    _, _, per_clip = step_fn(sb, opt_state, tb, wb, scb)
-    per_clip = np.asarray(per_clip)
+    _, _, hist = step_fn(sb, opt_state, tb, wb, scb)
+    per_clip = np.asarray(hist)[0]
     for c in range(C):
         state_c, target_c, w_c = solver.init_state(bodies[c], cams[c])
         t = solver.terms(state_c, target_c, w_c)
