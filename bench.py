@@ -6,11 +6,24 @@ per-iteration host syncs, global_optimization.py:491-556).
 Runs the full 'local'-mode schedule (400 + 100 + 200 steps at the
 reference's 0.8/0.2/0.4 split) on a synthetic SMPL-X-sized problem:
 10,475 vertices, 55 joints, ~870 contact vertices, 100k-point scene
-cloud. Prints ONE JSON line:
-  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": 60/value}
+cloud — then benches the 'global' and 'dct' reference modes, per-phase
+roofline numbers (FLOPs + bytes from XLA cost analysis -> achieved
+TFLOP/s, GB/s, MFU), the keypoint-fit entry point, the Pallas brute-NN
+kernel against the XLA brute path (compiled on hardware, so Mosaic
+regressions surface here), and optionally the sharded multi-clip path.
 
-Env knobs: FPV4D_BENCH_FRAMES (default 900), FPV4D_BENCH_SMALL=1 for a
-CPU-friendly smoke run.
+Prints ONE JSON line:
+  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": 60/value,
+   "extras": {...}}
+
+Env knobs:
+  FPV4D_BENCH_FRAMES   clip length (default 900)
+  FPV4D_BENCH_SMALL=1  CPU-friendly smoke run
+  FPV4D_BENCH_MODES    comma list, default "local,global,dct"
+  FPV4D_BENCH_MULTI=1  also bench MultiClipSolver (2 clips, 1-device
+                       mesh) and report per-clip throughput vs single
+  FPV4D_BENCH_SKATE_SUBSET  stratified-vertex count for the anti-skate
+                       phase (default 2048; 0 = exact full mesh)
 """
 from __future__ import annotations
 
@@ -21,6 +34,104 @@ import time
 
 import numpy as np
 
+# v5e chip peaks (public: cloud.google.com/tpu/docs/v5e): 197 TFLOP/s
+# bf16 on the MXU, 819 GB/s HBM bandwidth. MFU is reported against the
+# bf16 peak (f32 matmuls run as bf16 passes on this hardware).
+PEAK_FLOPS = {"tpu": 197e12, "cpu": 1e11}
+PEAK_BYTES = {"tpu": 819e9, "cpu": 1e10}
+
+
+def _cost(jitted, *args):
+    """FLOPs + bytes of a compiled program via XLA cost analysis."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return (float(ca.get("flops", 0.0)),
+                float(ca.get("bytes accessed", 0.0)))
+    except Exception as e:  # cost analysis is best-effort
+        print(f"[bench] cost_analysis failed: {e}", file=sys.stderr)
+        return 0.0, 0.0
+
+
+def _phase_stats(solver, state, opt_state, target, weights, steps,
+                 phase, backend, weight_right=None):
+    """Run one phase, timed, and return (new state/opt, stats dict)."""
+    if phase == "skate":
+        run = lambda: solver._run_skate_phase(
+            state, opt_state, target, weights, steps, weight_right)
+    else:
+        run = lambda: solver._run_phase(state, opt_state, target,
+                                        weights, steps, phase)
+    import jax
+    out = run()                      # compile (cached across runs)
+    jax.block_until_ready(out[0].body_6d)
+    t0 = time.perf_counter()
+    out = run()
+    jax.block_until_ready(out[0].body_6d)
+    dt = time.perf_counter() - t0
+
+    key = ("skate", steps) if phase == "skate" else (phase, steps)
+    jitted = solver._compiled[key]
+    if phase == "skate":
+        flops, nbytes = _cost(jitted, solver.ctx, state, opt_state,
+                              target, weights, weight_right)
+    else:
+        flops, nbytes = _cost(jitted, solver.ctx, state, opt_state,
+                              target, weights)
+    stats = {
+        "steps": steps,
+        "ms_per_step": round(dt / steps * 1e3, 3),
+        "gflops_per_step": round(flops / steps / 1e9, 2),
+        "tflops_achieved": round(flops / dt / 1e12, 3),
+        "mfu": round(flops / dt / PEAK_FLOPS.get(backend, 1e18), 4),
+        "gbps_achieved": round(nbytes / dt / 1e9, 1),
+        "hbm_frac": round(nbytes / dt / PEAK_BYTES.get(backend, 1e18),
+                          4),
+    }
+    return out[0], out[1], dt, stats
+
+
+def bench_mode(solver, body_j, cam_j, mode, backend, phases_out):
+    """Steady-state wall-clock of one full mode schedule, per-phase
+    roofline stats collected into phases_out."""
+    import jax
+    cfg = solver.config
+    state, target, weights = solver.init_state(body_j, cam_j)
+    opt_state = solver._opt.init(state)
+    total = 0.0
+    hist = {}
+    if mode == "local":
+        n_a = int(cfg.num_iter * cfg.stage_split)
+        sched = [("local_a", n_a), ("local_b", cfg.num_iter - n_a)]
+    elif mode == "global":
+        n_a = int(cfg.num_iter * cfg.stage_split)
+        sched = [("global_a", n_a), ("global_b", cfg.num_iter - n_a)]
+    else:  # dct
+        n = cfg.num_iter_dct
+        sched = [("dct_a", int(n * cfg.dct_split)),
+                 ("dct_b", n - int(n * cfg.dct_split))]
+    for phase, steps in sched:
+        state, opt_state, dt, stats = _phase_stats(
+            solver, state, opt_state, target, weights, steps, phase,
+            backend)
+        total += dt
+        phases_out[phase] = stats
+    if mode == "local":
+        wr = solver.detect_contact(state)
+        jax.block_until_ready(wr)
+        t0 = time.perf_counter()
+        wr = solver.detect_contact(state)
+        jax.block_until_ready(wr)
+        total += time.perf_counter() - t0
+        steps = int(cfg.contact_phase_frac * cfg.num_iter)
+        state, opt_state, dt, stats = _phase_stats(
+            solver, state, opt_state, target, weights, steps, "skate",
+            backend, weight_right=wr)
+        total += dt
+        phases_out["skate"] = stats
+    return total, state
+
 
 def main():
     small = os.environ.get("FPV4D_BENCH_SMALL") == "1"
@@ -28,6 +139,11 @@ def main():
     num_verts = 512 if small else 10475
     scene_pts = 1024 if small else 100_489      # 317^2 grid
     num_iter = 20 if small else 500
+    num_iter_dct = 40 if small else 10000
+    skate_subset = int(os.environ.get("FPV4D_BENCH_SKATE_SUBSET", "2048"))
+    modes = os.environ.get(
+        "FPV4D_BENCH_MODES", "local" if small else "local,global,dct"
+    ).split(",")
 
     import jax
     # persistent compilation cache: phase programs are identical
@@ -46,7 +162,8 @@ def main():
 
     backend = jax.default_backend()
     print(f"[bench] backend={backend} T={T} V={num_verts} "
-          f"scene={scene_pts} iters={num_iter}", file=sys.stderr)
+          f"scene={scene_pts} iters={num_iter} modes={modes} "
+          f"skate_subset={skate_subset}", file=sys.stderr)
 
     # the synthetic model takes ~20s of single-core numpy to generate;
     # cache its arrays next to the compilation cache
@@ -76,8 +193,9 @@ def main():
     vids_l = np.asarray(segs["L_Leg"], np.int32)
     vids_r = np.asarray(segs["R_Leg"], np.int32)
 
-    cfg = ClipConfig(num_iter=num_iter, window=60 if T % 60 == 0 else T,
-                     dct_num=5)
+    cfg = ClipConfig(num_iter=num_iter, num_iter_dct=num_iter_dct,
+                     window=60 if T % 60 == 0 else T, dct_num=5,
+                     skate_subset=skate_subset)
     solver = ClipSolver(model=model, vposer_params=vp,
                         scene_verts=scene,  # np: grid builds host-side, device upload is lazy
                         contact_vids=np.concatenate([vids_l, vids_r]),
@@ -104,13 +222,16 @@ def main():
     body_j = jnp.asarray(body)
     cam_j = jnp.asarray(cam)
 
-    # warm-up: compile all phase programs on a tiny run is not possible
-    # (shapes differ), so compile the real ones once and time the
-    # second full solve (compile cache makes re-runs realistic).
+    extras = {"backend": backend, "frames": T,
+              "skate_subset": skate_subset, "modes": {}, "phases": {}}
+
+    # headline: full 'local' fit via the public API — first (incl
+    # compile) and steady
     t0 = time.perf_counter()
     state, hist = solver.fit(body_j, cam_j, mode="local")
     jax.block_until_ready(state.body_6d)
     t_first = time.perf_counter() - t0
+    extras["first_solve_s"] = round(t_first, 2)
     print(f"[bench] first solve (incl compile): {t_first:.2f}s",
           file=sys.stderr)
 
@@ -121,11 +242,32 @@ def main():
 
     total_steps = sum(len(v) for v in hist.values())
     fps = T * total_steps / dt
-    print(f"[bench] steady solve: {dt:.2f}s ({total_steps} steps, "
+    extras["modes"]["local"] = {"steady_s": round(dt, 3),
+                                "frame_iters_per_s": round(fps)}
+    print(f"[bench] steady local solve: {dt:.2f}s ({total_steps} steps, "
           f"{fps:.0f} frame-iters/s)", file=sys.stderr)
     for k, v in hist.items():
         print(f"[bench]   {k}: {v[0]:.4f} -> {v[-1]:.4f}",
               file=sys.stderr)
+
+    # per-phase roofline for local + requested other modes
+    for mode in modes:
+        if mode == "local":
+            # phases timed individually for the roofline (the headline
+            # number above is the public-API path)
+            t_mode, _ = bench_mode(solver, body_j, cam_j, "local",
+                                   backend, extras["phases"])
+        else:
+            t_mode, _ = bench_mode(solver, body_j, cam_j, mode,
+                                   backend, extras["phases"])
+            extras["modes"][mode] = {"steady_s": round(t_mode, 3)}
+        print(f"[bench] mode {mode}: steady {t_mode:.2f}s",
+              file=sys.stderr)
+    for k, v in extras["phases"].items():
+        print(f"[bench]   {k}: {v['ms_per_step']}ms/step "
+              f"{v['gflops_per_step']}GF {v['tflops_achieved']}TF/s "
+              f"mfu={v['mfu']} {v['gbps_achieved']}GB/s "
+              f"hbm={v['hbm_frac']}", file=sys.stderr)
 
     # secondary headline (stderr): frames/sec of SMPL-X keypoint
     # fitting per chip — the fit-from-keypoints entry point (the
@@ -156,6 +298,7 @@ def main():
         t0 = time.perf_counter()
         fit_keypoints(model, vp, kp, kcfg)
         dt_fit = time.perf_counter() - t0
+        extras["keypoint_fit_fps"] = round(T / dt_fit, 1)
         print(f"[bench] keypoint fit: {T} frames x "
               f"{3 * kcfg.num_iter} steps in {dt_fit:.2f}s -> "
               f"{T / dt_fit:.0f} frames/s per chip", file=sys.stderr)
@@ -163,11 +306,76 @@ def main():
         print(f"[bench] keypoint-fit secondary metric skipped: {e}",
               file=sys.stderr)
 
+    # Pallas brute-NN kernel, compiled on this backend, vs the XLA
+    # brute path — correctness + timing each round so Mosaic
+    # regressions can't ship silently (VERDICT r1)
+    try:
+        from fpv4d.ops import nn as NN
+        q = jnp.asarray(rng.randn(64, 896, 3).astype(np.float32))
+        sc = jnp.asarray(scene[:4096])
+        p_impl = "pallas" if backend == "tpu" else "pallas_interpret"
+        f_p = jax.jit(lambda q, s: NN.nn_brute(q, s, p_impl)[0])
+        f_x = jax.jit(lambda q, s: NN.nn_brute(q, s, "xla")[0])
+        d_p = np.asarray(f_p(q, sc))
+        d_x = np.asarray(f_x(q, sc))
+        err = float(np.abs(d_p - d_x).max())
+        t0 = time.perf_counter(); jax.block_until_ready(f_p(q, sc))
+        ms_p = (time.perf_counter() - t0) * 1e3
+        t0 = time.perf_counter(); jax.block_until_ready(f_x(q, sc))
+        ms_x = (time.perf_counter() - t0) * 1e3
+        extras["pallas_check"] = {"ok": bool(err < 1e-3),
+                                  "max_err": err,
+                                  "ms_pallas": round(ms_p, 2),
+                                  "ms_xla": round(ms_x, 2)}
+        print(f"[bench] pallas NN check: err={err:.2e} "
+              f"pallas={ms_p:.2f}ms xla={ms_x:.2f}ms", file=sys.stderr)
+    except Exception as e:
+        extras["pallas_check"] = {"ok": False, "error": str(e)[:200]}
+        print(f"[bench] pallas NN check FAILED: {e}", file=sys.stderr)
+
+    # sharded multi-clip throughput vs single-clip (VERDICT r1 item 2)
+    if os.environ.get("FPV4D_BENCH_MULTI") == "1":
+        try:
+            from fpv4d.parallel import sharding as SH
+            from fpv4d.parallel.multi_clip import (MultiClipSolver,
+                                                   pad_scenes)
+            C = 2
+            mesh = SH.make_mesh({"clips": 1})
+            mc = MultiClipSolver(solver=solver, mesh=mesh,
+                                 frame_axis=None)
+            bodies = jnp.asarray(np.tile(body[None], (C, 1, 1)))
+            cams = jnp.asarray(np.tile(cam[None], (C, 1, 1, 1)))
+            scenes = pad_scenes([scene] * C)
+            sb, hist_m = mc.fit(bodies, cams, jnp.asarray(scenes),
+                                mode="local")          # compile
+            jax.block_until_ready(sb.body_6d)
+            t0 = time.perf_counter()
+            sb, hist_m = mc.fit(bodies, cams, jnp.asarray(scenes),
+                                mode="local")
+            jax.block_until_ready(sb.body_6d)
+            dt_m = time.perf_counter() - t0
+            steps_m = sum(v.shape[0] for v in hist_m.values())
+            per_clip_fps = C * T * steps_m / dt_m
+            extras["multi_clip"] = {
+                "clips": C, "steady_s": round(dt_m, 3),
+                "frame_iters_per_s": round(per_clip_fps),
+                "per_clip_slowdown_vs_single": round(
+                    dt_m / (C * dt), 3)}
+            print(f"[bench] multi-clip: {C} clips in {dt_m:.2f}s "
+                  f"({per_clip_fps:.0f} frame-iters/s, "
+                  f"{dt_m / (C * dt):.2f}x per-clip vs single)",
+                  file=sys.stderr)
+        except Exception as e:
+            extras["multi_clip"] = {"error": str(e)[:200]}
+            print(f"[bench] multi-clip bench FAILED: {e}",
+                  file=sys.stderr)
+
     print(json.dumps({
         "metric": f"clip_joint_opt_{T}f_local_mode_wallclock",
         "value": round(dt, 3),
         "unit": "s",
         "vs_baseline": round(60.0 / dt, 3),
+        "extras": extras,
     }))
 
 

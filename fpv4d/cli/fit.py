@@ -23,6 +23,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vposer", default="./vposer")
     p.add_argument("--no-hands", action="store_true",
                    help="ignore hand keypoints even when present")
+    p.add_argument("--no-face", action="store_true",
+                   help="ignore face keypoints even when present "
+                        "(face fitting needs a model with landmark "
+                        "tables: jaw pose + expression from the 70 "
+                        "OpenPose face points)")
     return p
 
 
@@ -44,8 +49,13 @@ def main(argv=None) -> int:
         for side in ("hand_left", "hand_right"):
             if full[side].size and full[side][..., 2].max() > 0:
                 hands[side] = full[side]
+    face = None
+    if not args.no_face and full["face"].size \
+            and full["face"][..., 2].max() > 0:
+        face = full["face"]
     print(f"[fpv4d.fit] {kp.shape[0]} frames of keypoints"
-          + (f" (+{len(hands)} hand streams)" if hands else ""),
+          + (f" (+{len(hands)} hand streams)" if hands else "")
+          + (" (+face)" if face is not None else ""),
           file=sys.stderr)
 
     model = common.load_model(args.model)
@@ -55,10 +65,13 @@ def main(argv=None) -> int:
                             num_iter=args.iters)
     params, hist = fit_keypoints(model, vp, kp, cfg,
                                  hand_left=hands.get("hand_left"),
-                                 hand_right=hands.get("hand_right"))
-    for name, h in hist.items():
-        print(f"[fpv4d.fit] stage {name}: {h[0]:.2f} -> {h[-1]:.2f}",
-              file=sys.stderr)
+                                 hand_right=hands.get("hand_right"),
+                                 face=face)
+    for name in ("camera", "body", "all"):
+        if name in hist:
+            h = hist[name]
+            print(f"[fpv4d.fit] stage {name}: {h[0]:.2f} -> "
+                  f"{h[-1]:.2f}", file=sys.stderr)
     paths = body_pkl.save_clip(args.out_dir, params)
     print(f"[fpv4d.fit] wrote {len(paths)} pkls to {args.out_dir}",
           file=sys.stderr)

@@ -42,6 +42,13 @@ class ClipConfig:
     # initial joint trajectories) instead of the reference's zero/randn
     # start — dct_a then starts near its optimum
     dct_closed_form_init: bool = False
+    # anti-skate phase: evaluate the whole-mesh second-order smoothing
+    # term (global_optimization.py:404-405) on a stratified subset of
+    # this many vertices (+ the foot-contact vertices) instead of all
+    # 10,475 — an unbiased estimator of the mean that cuts the phase's
+    # LBS and HBM traffic ~5x. 0 = full mesh (exact reference
+    # semantics).
+    skate_subset: int = 0
 
 
 @dataclass(frozen=True)
@@ -68,4 +75,6 @@ class KeypointFitConfig:
     weight_vposer: float = 0.05
     weight_shape: float = 0.01
     weight_hand: float = 0.01
+    weight_expr: float = 0.01
+    weight_jaw: float = 0.1
     gmof_rho: float = 100.0

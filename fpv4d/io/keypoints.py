@@ -115,15 +115,15 @@ def load_clip_keypoints(folder: str) -> np.ndarray:
 
 def load_clip_keypoints_full(folder: str):
     """Sorted JSONs -> dict with 'pose' [T,25,3], 'hand_left' and
-    'hand_right' [T,21,3] (zero-confidence where absent) — the full
-    OpenPose --hand output the pipeline requests (README.md step 2,
-    utils/openpose_call.py flags)."""
+    'hand_right' [T,21,3], 'face' [T,70,3] (zero-confidence where
+    absent) — the full OpenPose --face --hand output the pipeline
+    requests (README.md step 2, utils/openpose_call.py:6-8 flags)."""
     files = sorted(glob.glob(os.path.join(folder, "*.json")))
-    out = {"pose": [], "hand_left": [], "hand_right": []}
+    out = {"pose": [], "hand_left": [], "hand_right": [], "face": []}
     for path in files:
         kp = read_keypoints(path)
         for key, n in (("pose", NUM_BODY25), ("hand_left", 21),
-                       ("hand_right", 21)):
+                       ("hand_right", 21), ("face", 70)):
             out[key].append(kp[key] if kp is not None
                             else np.zeros((n, 3), dtype=np.float32))
     return {k: (np.stack(v) if v else np.zeros((0, 1, 3), np.float32))

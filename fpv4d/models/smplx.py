@@ -82,6 +82,14 @@ class SmplxModel:
     hands_mean_r: jnp.ndarray      # [45]
     faces: np.ndarray = field(compare=False)   # [F, 3] int32, host-side
     flat_hand_mean: bool = False
+    # static face-landmark embedding (official artifact keys
+    # lmk_faces_idx/lmk_bary_coords): 51 barycentric points on mesh
+    # triangles, matching OpenPose face slots 17:68 (SMPLify-X fits
+    # jaw/expression against these)
+    lmk_faces_idx: Optional[np.ndarray] = field(default=None,
+                                                compare=False)  # [L]
+    lmk_bary_coords: Optional[np.ndarray] = field(default=None,
+                                                  compare=False)  # [L,3]
 
     # -- pytree plumbing ----------------------------------------------------
     _LEAVES = ("v_template", "shapedirs", "exprdirs", "posedirs",
@@ -92,13 +100,32 @@ class SmplxModel:
         leaves = tuple(getattr(self, k) for k in self._LEAVES)
         # aux data must be hashable with simple equality (jit cache
         # keys) — wrap the faces array
-        return leaves, (_StaticArray(self.faces), self.flat_hand_mean)
+        wrap = lambda a: None if a is None else _StaticArray(a)
+        return leaves, (_StaticArray(self.faces), self.flat_hand_mean,
+                        wrap(self.lmk_faces_idx),
+                        wrap(self.lmk_bary_coords))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        faces, flat_hand_mean = aux
+        faces, flat_hand_mean, lmk_f, lmk_b = aux
+        unwrap = lambda a: None if a is None else a.arr
         return cls(*leaves, faces=faces.arr,
-                   flat_hand_mean=flat_hand_mean)
+                   flat_hand_mean=flat_hand_mean,
+                   lmk_faces_idx=unwrap(lmk_f),
+                   lmk_bary_coords=unwrap(lmk_b))
+
+    def landmark_vertex_subset(self):
+        """Static (vertex_subset, tri_local [L,3], bary [L,3]) for
+        computing the face landmarks from a subset-skinned mesh:
+        landmarks = sum_k bary[:, k] * verts[:, tri_local[:, k]]."""
+        if self.lmk_faces_idx is None:
+            return None
+        tris = self.faces[np.asarray(self.lmk_faces_idx)]     # [L, 3]
+        vids = np.unique(tris.ravel()).astype(np.int32)
+        pos = {int(v): i for i, v in enumerate(vids)}
+        tri_local = np.vectorize(pos.get)(tris).astype(np.int32)
+        return vids, tri_local, np.asarray(self.lmk_bary_coords,
+                                           np.float32)
 
     # -- convenience sizes ---------------------------------------------------
     @property
@@ -346,7 +373,13 @@ def load_npz(path: str, num_betas: int = 10, num_expr: int = 10,
     posedirs = np.asarray(data["posedirs"], dtype=np.float32)
     V = posedirs.shape[0]
     posedirs = posedirs.reshape(V * 3, -1).T        # [(J-1)*9, V*3]
+    lmk_f = (np.asarray(data["lmk_faces_idx"], np.int32)
+             if "lmk_faces_idx" in data else None)
+    lmk_b = (np.asarray(data["lmk_bary_coords"], np.float32)
+             if "lmk_bary_coords" in data else None)
     return SmplxModel(
+        lmk_faces_idx=lmk_f,
+        lmk_bary_coords=lmk_b,
         v_template=jnp.asarray(data["v_template"], dtype=dtype),
         shapedirs=jnp.asarray(shapedirs, dtype=dtype),
         exprdirs=jnp.asarray(exprdirs, dtype=dtype),
@@ -465,7 +498,22 @@ def synthetic_model(num_verts: int = 1024, num_betas: int = 10,
     num_faces = max(1, num_verts * 2 - 4)
     faces = rng.randint(0, num_verts, size=(num_faces, 3)).astype(np.int32)
 
+    # face-landmark embedding: 51 barycentric points on triangles near
+    # the head joint (same contract as the official lmk_faces_idx /
+    # lmk_bary_coords keys); expression dirs are boosted on the
+    # landmark vertices so synthetic expression-fitting is observable
+    head_d2 = ((verts - rest[15]) ** 2).sum(-1)
+    face_centroid_d2 = head_d2[faces].mean(axis=1)
+    lmk_faces_idx = np.argsort(face_centroid_d2)[:51].astype(np.int32)
+    bary = rng.rand(51, 3).astype(np.float32) + 0.1
+    lmk_bary_coords = bary / bary.sum(axis=1, keepdims=True)
+    lmk_vids = np.unique(faces[lmk_faces_idx].ravel())
+    exprdirs[lmk_vids] = (rng.randn(len(lmk_vids), 3, num_expr)
+                          .astype(np.float32) * 0.02)
+
     return SmplxModel(
+        lmk_faces_idx=lmk_faces_idx,
+        lmk_bary_coords=lmk_bary_coords,
         v_template=jnp.asarray(verts, dtype=dtype),
         shapedirs=jnp.asarray(shapedirs, dtype=dtype),
         exprdirs=jnp.asarray(exprdirs, dtype=dtype),

@@ -43,6 +43,29 @@ class MultiClipSolver:
     clip_axis: str = "clips"
     frame_axis: Optional[str] = "frames"
 
+    def __post_init__(self):
+        # compiled sharded programs, keyed by (phase, steps, shapes):
+        # rebuilding a jax.jit wrapper per fit() call would re-trace
+        # the whole phase program every time (grids/scenes ride through
+        # as arguments instead)
+        self._compiled = {}
+
+    def _get_step(self, phase: str, steps: int, shapes_key, grid_b):
+        key = ("step", phase, steps, shapes_key)
+        if key not in self._compiled:
+            self._compiled[key] = SH.build_sharded_step(
+                self.solver, self.mesh, phase, self.clip_axis,
+                self.frame_axis, grid_b=grid_b, num_steps=steps)
+        return self._compiled[key]
+
+    def _get_detect(self, shapes_key, grid_b):
+        key = ("detect", shapes_key)
+        if key not in self._compiled:
+            self._compiled[key] = SH.build_sharded_detect_contact(
+                self.solver, self.mesh, self.clip_axis,
+                self.frame_axis, grid_b=grid_b)
+        return self._compiled[key]
+
     def init_batch(self, bodies: jnp.ndarray, camera_exts: jnp.ndarray
                    ) -> Tuple[ClipState, jnp.ndarray, jnp.ndarray]:
         """[C,T,75] + [C,T,4,4] -> batched (state, target, weights)
@@ -100,25 +123,24 @@ class MultiClipSolver:
         else:
             raise ValueError(mode)
 
+        C, T = bodies.shape[0], bodies.shape[1]
+        shapes_key = (C, T, scene_b.shape[1], grid_b is not None)
         hist = {}
         opt_state = None
         for phase, steps in schedule:
             if steps <= 0:
                 continue
-            step_fn, init_fn = SH.build_sharded_step(
-                self.solver, self.mesh, phase, self.clip_axis,
-                self.frame_axis, grid_b=grid_b, num_steps=steps)
+            step_fn, init_fn = self._get_step(phase, steps, shapes_key,
+                                              grid_b)
             if opt_state is None:
                 opt_state = init_fn(state_b)
             extra_b = None
             if phase == "skate":
-                detect = SH.build_sharded_detect_contact(
-                    self.solver, self.mesh, self.clip_axis,
-                    self.frame_axis, grid_b=grid_b)
-                extra_b = detect(state_b, scene_b)
+                detect = self._get_detect(shapes_key, grid_b)
+                extra_b = detect(state_b, scene_b, grid=grid_b)
             state_b, opt_state, h = step_fn(
                 state_b, opt_state, target_b, weights_b, scene_b,
-                extra_b)
+                extra_b, grid=grid_b)
             key = "local_skate" if phase == "skate" else phase
             hist[key] = np.asarray(h)
         return state_b, hist

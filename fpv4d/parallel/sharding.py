@@ -182,8 +182,9 @@ def build_sharded_step(solver: ClipSolver, mesh: Mesh, phase: str = "local_a",
             out_shardings=out_sh)
 
         def step_fn(state_b, opt_state, target_b, weights_b, scene_b,
-                    extra_b=None):
-            return jitted(solver.ctx, scene_b, grid_b, state_b,
+                    extra_b=None, grid=None):
+            return jitted(solver.ctx, scene_b,
+                          grid_b if grid is None else grid, state_b,
                           opt_state, target_b, weights_b,
                           zero_extra if extra_b is None else extra_b)
     else:
@@ -199,7 +200,7 @@ def build_sharded_step(solver: ClipSolver, mesh: Mesh, phase: str = "local_a",
             out_shardings=out_sh)
 
         def step_fn(state_b, opt_state, target_b, weights_b, scene_b,
-                    extra_b=None):
+                    extra_b=None, grid=None):
             return jitted(solver.ctx, scene_b, state_b, opt_state,
                           target_b, weights_b,
                           zero_extra if extra_b is None else extra_b)
@@ -265,9 +266,10 @@ def build_sharded_detect_contact(solver: ClipSolver, mesh: Mesh,
                                        grid_sharding, sh["state"]),
                          out_shardings=out_sh)
 
-        def run(state_b, scene_b):
+        def run(state_b, scene_b, grid=None):
             return jax.lax.stop_gradient(
-                jitted(solver.ctx, scene_b, grid_b, state_b))
+                jitted(solver.ctx, scene_b,
+                       grid_b if grid is None else grid, state_b))
     else:
         def no_grid(ctx_base, scene_b, state_b):
             return batched(ctx_base, scene_b, None, state_b)
@@ -277,7 +279,7 @@ def build_sharded_detect_contact(solver: ClipSolver, mesh: Mesh,
                                        sh["state"]),
                          out_shardings=out_sh)
 
-        def run(state_b, scene_b):
+        def run(state_b, scene_b, grid=None):
             return jax.lax.stop_gradient(
                 jitted(solver.ctx, scene_b, state_b))
     return run

@@ -153,6 +153,27 @@ class ClipSolver:
         # arrays ride through the Ctx argument, never as constants
         self._compiled = {}
         self._scene_dev = None
+        # anti-skate phase vertex set: stratified sample + both feet
+        # (config.skate_subset=0 -> full mesh, exact reference
+        # semantics)
+        n_sub = self.config.skate_subset
+        if n_sub and n_sub < self.model.num_verts:
+            strat = np.linspace(0, self.model.num_verts - 1, n_sub,
+                                dtype=np.int64)
+            vids = np.unique(np.concatenate(
+                [strat, self.contact_vids_left, self.contact_vids_right]))
+            self._skate_vids = vids.astype(np.int32)
+            pos = {int(v): i for i, v in enumerate(vids)}
+            self._skate_left = np.asarray(
+                [pos[int(v)] for v in self.contact_vids_left], np.int32)
+            self._skate_right = np.asarray(
+                [pos[int(v)] for v in self.contact_vids_right], np.int32)
+        else:
+            self._skate_vids = None
+            self._skate_left = np.asarray(self.contact_vids_left,
+                                          np.int32)
+            self._skate_right = np.asarray(self.contact_vids_right,
+                                           np.int32)
 
     @property
     def ctx(self) -> Ctx:
@@ -198,15 +219,22 @@ class ClipSolver:
                frame_weights: jnp.ndarray, weight_right: jnp.ndarray,
                ctx: Optional[Ctx] = None) -> Tuple[jnp.ndarray, ...]:
         """cal_loss2: anti-foot-skate phase terms
-        (global_optimization.py:368-447)."""
+        (global_optimization.py:368-447).
+
+        With config.skate_subset > 0, the whole-mesh smoothing term is
+        estimated on the stratified vertex subset built in
+        __post_init__ (the mean over a uniform index-stratified sample
+        is an unbiased estimator of the full-mesh mean; the foot
+        vertices of the skate term are always included exactly)."""
         ctx = self.ctx if ctx is None else ctx
         w = self.config.weights
-        verts_w, _, _ = forward_world(ctx, state)
+        verts_w, _, _ = forward_world(ctx, state,
+                                      vertex_subset=self._skate_vids)
         rec = w.rec * losses.rec_l1(target_6d, state.body_6d, frame_weights)
         local_smooth = losses.second_order_smoothness(state.body_6d)
         vert_smooth = losses.second_order_smoothness(verts_w)
-        skate = losses.foot_skate(verts_w[:, self.contact_vids_left],
-                                  verts_w[:, self.contact_vids_right],
+        skate = losses.foot_skate(verts_w[:, self._skate_left],
+                                  verts_w[:, self._skate_right],
                                   weight_right)
         return rec, local_smooth, vert_smooth, skate
 

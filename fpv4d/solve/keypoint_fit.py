@@ -88,6 +88,8 @@ class FitVars(NamedTuple):
     latent: jnp.ndarray            # [32] VPoser
     left_hand: jnp.ndarray         # [12]
     right_hand: jnp.ndarray        # [12]
+    jaw: jnp.ndarray               # [3]
+    expression: jnp.ndarray        # [10]
 
 
 def gmof(x: jnp.ndarray, rho: float) -> jnp.ndarray:
@@ -108,11 +110,13 @@ def project(points_cam: jnp.ndarray, focal: float,
     return focal * points_cam[..., :2] / z + center
 
 
-def _stage_mask(camera=False, body=False, hands=False) -> FitVars:
+def _stage_mask(camera=False, body=False, hands=False,
+                face=False) -> FitVars:
     return FitVars(global_orient=float(camera),
                    camera_translation=float(camera),
                    betas=float(body), latent=float(body),
-                   left_hand=float(hands), right_hand=float(hands))
+                   left_hand=float(hands), right_hand=float(hands),
+                   jaw=float(face), expression=float(face))
 
 
 def init_camera_translation(keypoints: jnp.ndarray, rest_joints: jnp.ndarray,
@@ -135,7 +139,8 @@ def fit_keypoints(model: SmplxModel, vposer_params: Dict[str, jnp.ndarray],
                   keypoints: jnp.ndarray,
                   config: KeypointFitConfig = KeypointFitConfig(),
                   hand_left: Optional[np.ndarray] = None,
-                  hand_right: Optional[np.ndarray] = None
+                  hand_right: Optional[np.ndarray] = None,
+                  face: Optional[np.ndarray] = None
                   ) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
     """Fit SMPL-X to OpenPose keypoints for a whole clip at once.
 
@@ -143,8 +148,17 @@ def fit_keypoints(model: SmplxModel, vposer_params: Dict[str, jnp.ndarray],
     hand_left/hand_right optional [T, 21, 3] OpenPose hand keypoints —
     when given, the 'all' stage adds hand-joint reprojection so the
     PCA coefficients are data-driven (the external smplifyx stage fits
-    hands/face the same way, README.md:12 passes --hand to OpenPose).
-    Returns ([T, 75] canonical params, history dict).
+    hands/face the same way, README.md:12; utils/openpose_call.py:6-8
+    passes --face --hand to OpenPose).
+    face: optional [T, 70, 3] OpenPose face keypoints — the 51
+    internal landmarks (slots 17:68) drive jaw_pose + expression in
+    the 'all' stage through the model's barycentric face-landmark
+    embedding (SMPLify-X's expression fitting). Requires the model to
+    carry lmk_faces_idx/lmk_bary_coords (official artifact keys).
+    Returns ([T, 75] canonical params, history dict). jaw/expression
+    are returned in the history dict under 'jaw'/'expression' (the
+    75-d canonical layout has no face slots, matching the reference
+    pkl contract).
     """
     T = keypoints.shape[0]
     keypoints = jnp.asarray(keypoints, dtype=jnp.float32)
@@ -186,6 +200,16 @@ def fit_keypoints(model: SmplxModel, vposer_params: Dict[str, jnp.ndarray],
     body_w = jnp.asarray(body_np)
     torso_only = jnp.asarray(torso_np)
 
+    # face landmarks: static barycentric embedding -> a tiny vertex
+    # subset is skinned only when face fitting is active
+    lmk = model.landmark_vertex_subset() if face is not None else None
+    use_face = lmk is not None
+    if use_face:
+        lmk_vids, lmk_tri, lmk_bary = lmk
+        face_kp = jnp.asarray(np.asarray(face, np.float32)[:, 17:68])
+    else:
+        face_kp = jnp.zeros((T, 1, 3), dtype=jnp.float32)
+
     rest = model(betas=jnp.zeros((1, model.num_betas)),
                  global_orient=jnp.zeros((1, 3)),
                  body_pose=jnp.zeros((1, 63)))
@@ -198,42 +222,61 @@ def fit_keypoints(model: SmplxModel, vposer_params: Dict[str, jnp.ndarray],
         latent=jnp.zeros((T, 32)),
         left_hand=jnp.zeros((T, model.num_pca)),
         right_hand=jnp.zeros((T, model.num_pca)),
+        jaw=jnp.zeros((T, 3)),
+        expression=jnp.zeros((T, model.num_expr)),
     )
 
-    def reproj_loss(model, vposer_params, kp, v: FitVars,
-                    joint_w: jnp.ndarray) -> jnp.ndarray:
+    def reproj_loss(model, vposer_params, kp, face_kp, v: FitVars,
+                    joint_w: jnp.ndarray, face_w) -> jnp.ndarray:
         pose63 = VP.decode(vposer_params, v.latent)
         out = model(betas=v.betas, global_orient=v.global_orient,
                     body_pose=pose63, left_hand_pose=v.left_hand,
-                    right_hand_pose=v.right_hand)
+                    right_hand_pose=v.right_hand, jaw_pose=v.jaw,
+                    expression=v.expression,
+                    vertex_subset=lmk_vids if use_face else None)
         j_cam = out["joints"] + v.camera_translation[:, None, :]
         j2d = project(jnp.take(j_cam, smplx_ids, axis=1), focal, center)
         resid_sq = jnp.sum((j2d - kp[..., :2]) ** 2, axis=-1)
         conf = kp[..., 2]
         w = conf * joint_w[None, :]
-        loss = jnp.sum(w * gmof_sq(resid_sq, config.gmof_rho)) \
-            / (jnp.sum(w) + 1e-6)
-        return loss
+        num = jnp.sum(w * gmof_sq(resid_sq, config.gmof_rho))
+        den = jnp.sum(w)
+        if use_face:
+            # landmarks = bary-weighted corners of the embedded tris
+            tri_pts = out["vertices"][:, lmk_tri]       # [T, 51, 3, 3]
+            lmk_cam = jnp.einsum("lk,tlkc->tlc",
+                                 jnp.asarray(lmk_bary), tri_pts) \
+                + v.camera_translation[:, None, :]
+            l2d = project(lmk_cam, focal, center)
+            lresid = jnp.sum((l2d - face_kp[..., :2]) ** 2, axis=-1)
+            wl = face_kp[..., 2] * face_w
+            num = num + jnp.sum(wl * gmof_sq(lresid, config.gmof_rho))
+            den = den + jnp.sum(wl)
+        return num / (den + 1e-6)
 
-    def total_loss(model, vposer_params, kp, v: FitVars,
-                   joint_w: jnp.ndarray) -> jnp.ndarray:
+    def total_loss(model, vposer_params, kp, face_kp, v: FitVars,
+                   joint_w: jnp.ndarray, face_w) -> jnp.ndarray:
         return (config.weight_reproj
-                * reproj_loss(model, vposer_params, kp, v, joint_w)
+                * reproj_loss(model, vposer_params, kp, face_kp, v,
+                              joint_w, face_w)
                 + config.weight_vposer * jnp.mean(v.latent ** 2)
                 + config.weight_shape * jnp.mean(v.betas ** 2)
                 + config.weight_hand * (jnp.mean(v.left_hand ** 2)
-                                        + jnp.mean(v.right_hand ** 2)))
+                                        + jnp.mean(v.right_hand ** 2))
+                + config.weight_expr * jnp.mean(v.expression ** 2)
+                + config.weight_jaw * jnp.mean(v.jaw ** 2))
 
     opt = optax.adam(config.lr)
 
     # model/vposer/keypoints ride through the jit boundary as traced
     # arguments, never closure constants (TPU compile-time killer)
     @jax.jit
-    def run_stage(model, vposer_params, kp, v, opt_state, joint_w, mask):
+    def run_stage(model, vposer_params, kp, face_kp, v, opt_state,
+                  joint_w, face_w, mask):
         def step(carry, _):
             v, opt_state = carry
-            loss, g = jax.value_and_grad(total_loss, argnums=3)(
-                model, vposer_params, kp, v, joint_w)
+            loss, g = jax.value_and_grad(total_loss, argnums=4)(
+                model, vposer_params, kp, face_kp, v, joint_w, face_w)
             g = jax.tree.map(lambda gi, m: gi * m, g, mask)
             updates, opt_state = opt.update(g, opt_state, v)
             v = optax.apply_updates(v, updates)
@@ -247,17 +290,23 @@ def fit_keypoints(model: SmplxModel, vposer_params: Dict[str, jnp.ndarray],
     opt_state = opt.init(v)
     hist = {}
     schedule = [
-        ("camera", torso_only, _stage_mask(camera=True)),
-        ("body", body_w, _stage_mask(camera=True, body=True)),
-        ("all", base_w, _stage_mask(camera=True, body=True, hands=True)),
+        ("camera", torso_only, 0.0, _stage_mask(camera=True)),
+        ("body", body_w, 0.0, _stage_mask(camera=True, body=True)),
+        ("all", base_w, 1.0 if use_face else 0.0,
+         _stage_mask(camera=True, body=True, hands=True,
+                     face=use_face)),
     ][: config.stages]
-    for name, joint_w, mask in schedule:
-        v, opt_state, h = run_stage(model, vposer_params, keypoints, v,
-                                    opt_state, joint_w, mask)
+    for name, joint_w, face_w, mask in schedule:
+        v, opt_state, h = run_stage(model, vposer_params, keypoints,
+                                    face_kp, v, opt_state, joint_w,
+                                    jnp.asarray(face_w, jnp.float32),
+                                    mask)
         hist[name] = np.asarray(h)
 
     out = jnp.concatenate([
         jnp.zeros((T, 3)),                 # transl (camera holds offset)
         v.global_orient, v.betas, v.latent, v.left_hand, v.right_hand,
         v.camera_translation], axis=-1)
+    hist["jaw"] = np.asarray(v.jaw)
+    hist["expression"] = np.asarray(v.expression)
     return np.asarray(out), hist

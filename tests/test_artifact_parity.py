@@ -60,6 +60,8 @@ def write_official_layout_npz(path, model, num_expr=10):
         f=model.faces,
         kintree_table=np.stack(
             [np.asarray(jsmplx.PARENTS), np.arange(55)]),
+        lmk_faces_idx=np.asarray(model.lmk_faces_idx),
+        lmk_bary_coords=np.asarray(model.lmk_bary_coords),
     )
 
 
@@ -78,8 +80,12 @@ def test_load_npz_official_layout_roundtrip(tmp_path):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(out_ld["joints"]),
                                np.asarray(out_src["joints"]), atol=1e-6)
-    # faces survive the trip
+    # faces + face-landmark embedding survive the trip
     np.testing.assert_array_equal(loaded.faces, src.faces)
+    np.testing.assert_array_equal(loaded.lmk_faces_idx,
+                                  src.lmk_faces_idx)
+    np.testing.assert_allclose(loaded.lmk_bary_coords,
+                               src.lmk_bary_coords, atol=0)
 
 
 def test_load_npz_expression_slot(tmp_path):

@@ -162,3 +162,35 @@ def test_dct_closed_form_init(scenario):
     zero_state = state._replace(c_dct=jnp.zeros_like(state.c_dct))
     t_zero = solver2.terms(zero_state, target, w)
     assert float(t_cf.dct) < 0.5 * float(t_zero.dct)
+
+
+def test_skate_subset_estimator(scenario):
+    """terms2 on a stratified vertex subset: the skate term (feet are
+    always included exactly) matches the full-mesh value exactly; the
+    whole-mesh smoothing estimate tracks the full value closely."""
+    s = scenario
+    kw = dict(model=s["model"], vposer_params=s["vp"],
+              scene_verts=s["scene"], contact_vids=s["vids"],
+              contact_vids_left=s["vids_l"],
+              contact_vids_right=s["vids_r"], use_pallas=False)
+    full = ClipSolver(config=ClipConfig(num_iter=4, window=6,
+                                        dct_num=3), **kw)
+    sub = ClipSolver(config=ClipConfig(num_iter=4, window=6, dct_num=3,
+                                       skate_subset=128), **kw)
+    assert sub._skate_vids is not None
+    assert len(sub._skate_vids) < s["model"].num_verts
+
+    state, target, w = full.init_state(s["body"], s["camera_ext"])
+    wr = full.detect_contact(state)
+    rec_f, ls_f, vs_f, sk_f = [float(x) for x in
+                               full.terms2(state, target, w, wr)]
+    rec_s, ls_s, vs_s, sk_s = [float(x) for x in
+                               sub.terms2(state, target, w, wr)]
+    assert rec_s == pytest.approx(rec_f, rel=1e-5)
+    assert ls_s == pytest.approx(ls_f, rel=1e-5)
+    assert sk_s == pytest.approx(sk_f, rel=1e-4)   # feet exact
+    assert vs_s == pytest.approx(vs_f, rel=0.25)   # unbiased estimate
+
+    # the subset solver still runs the full local schedule
+    st, hist = sub.fit(s["body"], s["camera_ext"], mode="local")
+    assert np.all(np.isfinite(hist["local_skate"]))
