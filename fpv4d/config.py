@@ -49,6 +49,17 @@ class ClipConfig:
     # LBS and HBM traffic ~5x. 0 = full mesh (exact reference
     # semantics).
     skate_subset: int = 0
+    # lazy-refresh contact NN (nn_impl='grid' only): rebuild each
+    # frame's candidate point set every this-many Adam steps (outside
+    # the compiled scan) and evaluate the per-step contact term
+    # against it with a gather-free fused brute min. TPU gathers cost
+    # ~20ns/row, so the per-step per-query candidate gather is the
+    # single largest cost of the whole solve; candidates drift-stale
+    # within the window saturate to the far field (gradient ~0).
+    # 0 = exact per-step grid query.
+    contact_refresh_steps: int = 50
+    # unique-cell budget per frame for the candidate refresh
+    contact_cell_budget: int = 64
 
 
 @dataclass(frozen=True)

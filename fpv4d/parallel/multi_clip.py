@@ -50,11 +50,14 @@ class MultiClipSolver:
         # as arguments instead)
         self._compiled = {}
 
-    def _get_step(self, phase: str, steps: int, shapes_key, grid_b):
+    def _get_step(self, phase, steps: int, shapes_key, grid_b):
+        """phase: a phase name, or (name, 'lazy') for the variant fed
+        FrameCands tables instead of a VoxelGrid."""
         key = ("step", phase, steps, shapes_key)
         if key not in self._compiled:
+            name = phase[0] if isinstance(phase, tuple) else phase
             self._compiled[key] = SH.build_sharded_step(
-                self.solver, self.mesh, phase, self.clip_axis,
+                self.solver, self.mesh, name, self.clip_axis,
                 self.frame_axis, grid_b=grid_b, num_steps=steps)
         return self._compiled[key]
 
@@ -62,6 +65,14 @@ class MultiClipSolver:
         key = ("detect", shapes_key)
         if key not in self._compiled:
             self._compiled[key] = SH.build_sharded_detect_contact(
+                self.solver, self.mesh, self.clip_axis,
+                self.frame_axis, grid_b=grid_b)
+        return self._compiled[key]
+
+    def _get_refresh(self, shapes_key, grid_b):
+        key = ("refresh", shapes_key)
+        if key not in self._compiled:
+            self._compiled[key] = SH.build_sharded_refresh(
                 self.solver, self.mesh, self.clip_axis,
                 self.frame_axis, grid_b=grid_b)
         return self._compiled[key]
@@ -125,24 +136,50 @@ class MultiClipSolver:
 
         C, T = bodies.shape[0], bodies.shape[1]
         shapes_key = (C, T, scene_b.shape[1], grid_b is not None)
+        lazy_chunk = (cfg.contact_refresh_steps
+                      if (grid_b is not None
+                          and self.solver.nn_impl == "grid") else 0)
         hist = {}
         opt_state = None
         for phase, steps in schedule:
             if steps <= 0:
                 continue
-            step_fn, init_fn = self._get_step(phase, steps, shapes_key,
-                                              grid_b)
-            if opt_state is None:
-                opt_state = init_fn(state_b)
+            lazy = lazy_chunk and phase in self.solver._CONTACT_PHASES
             extra_b = None
             if phase == "skate":
                 detect = self._get_detect(shapes_key, grid_b)
                 extra_b = detect(state_b, scene_b, grid=grid_b)
-            state_b, opt_state, h = step_fn(
-                state_b, opt_state, target_b, weights_b, scene_b,
-                extra_b, grid=grid_b)
+            if lazy:
+                # same lazy-refresh chunking as ClipSolver
+                # ._run_phase_auto: candidate tables rebuilt between
+                # scan chunks, never inside them
+                refresh = self._get_refresh(shapes_key, grid_b)
+                hs = []
+                left = steps
+                while left > 0:
+                    k = min(lazy_chunk, left)
+                    cands_b = refresh(state_b, scene_b, grid=grid_b)
+                    step_fn, init_fn = self._get_step(
+                        (phase, "lazy"), k, shapes_key, cands_b)
+                    if opt_state is None:
+                        opt_state = init_fn(state_b)
+                    state_b, opt_state, h = step_fn(
+                        state_b, opt_state, target_b, weights_b,
+                        scene_b, extra_b, grid=cands_b)
+                    hs.append(np.asarray(h))
+                    left -= k
+                h = np.concatenate(hs)
+            else:
+                step_fn, init_fn = self._get_step(phase, steps,
+                                                  shapes_key, grid_b)
+                if opt_state is None:
+                    opt_state = init_fn(state_b)
+                state_b, opt_state, h = step_fn(
+                    state_b, opt_state, target_b, weights_b, scene_b,
+                    extra_b, grid=grid_b)
+                h = np.asarray(h)
             key = "local_skate" if phase == "skate" else phase
-            hist[key] = np.asarray(h)
+            hist[key] = h
         return state_b, hist
 
     def result_params(self, state_b: ClipState

@@ -120,6 +120,7 @@ def build_sharded_step(solver: ClipSolver, mesh: Mesh, phase: str = "local_a",
     use_grid = grid_b is not None and solver.nn_impl == "grid"
     clip_loss = _per_clip_loss(solver, phase)
     extra_ax = 0 if phase == "skate" else None
+    grid_ax = _grid_in_axes(grid_b)
     f = frame_axis if (frame_axis and frame_axis in mesh.axis_names) \
         else None
 
@@ -135,7 +136,7 @@ def build_sharded_step(solver: ClipSolver, mesh: Mesh, phase: str = "local_a",
 
             losses = jax.vmap(
                 per_clip,
-                in_axes=(0, NN.grid_axes(grid_b), 0, 0, 0, extra_ax))(
+                in_axes=(0, grid_ax, 0, 0, 0, extra_ax))(
                     scene_b, grid_b, state_b, target_b, weights_b,
                     extra_b)
         else:
@@ -213,6 +214,58 @@ def build_sharded_step(solver: ClipSolver, mesh: Mesh, phase: str = "local_a",
 
 def _skate_mask() -> ClipState:
     return ClipState(body_6d=1.0, scale=0.0, camera_ext=0.0, c_dct=0.0)
+
+
+def _grid_in_axes(grid_b):
+    """vmap in_axes for the per-clip grid argument: VoxelGrid has its
+    own static-aux spec; a batched FrameCands table maps axis 0 on
+    every leaf."""
+    from fpv4d.ops import nn as NN
+    if isinstance(grid_b, NN.VoxelGrid):
+        return NN.grid_axes(grid_b)
+    return jax.tree.map(lambda _: 0, grid_b)
+
+
+def build_sharded_refresh(solver: ClipSolver, mesh: Mesh,
+                          clip_axis: str = "clips",
+                          frame_axis: Optional[str] = "frames",
+                          grid_b=None):
+    """Batched lazy-contact candidate refresh: (state_b, scene_b) ->
+    FrameCands with a leading clip axis (the sharded equivalent of
+    ClipSolver._refresh_cands, run between scan chunks)."""
+    from fpv4d.ops import nn as NN
+    from fpv4d.solve.clip_solve import forward_world
+
+    sh = clip_batch_shardings(mesh, clip_axis, frame_axis)
+    budget = solver.config.contact_cell_budget
+    grid_ax = _grid_in_axes(grid_b)
+
+    def batched(ctx_base, scene_b, grid_arg, state_b):
+        def one(scene, grid_c, state):
+            ctx = Ctx(model=ctx_base.model, vposer=ctx_base.vposer,
+                      scene=scene, grid=grid_c)
+            verts_w, _, _ = forward_world(
+                ctx, state, vertex_subset=solver.contact_vids)
+            return NN.frame_candidates(grid_c, verts_w, budget)
+
+        return jax.vmap(one, in_axes=(0, grid_ax, 0))(
+            scene_b, grid_arg, state_b)
+
+    grid_sharding = jax.tree.map(
+        lambda _: NamedSharding(mesh, P(clip_axis)), grid_b)
+    out_sh = jax.tree.map(
+        lambda _: NamedSharding(mesh, P(clip_axis)),
+        NN.FrameCands(cand=0, valid=0))
+    jitted = jax.jit(batched,
+                     in_shardings=(sh["replicated"], sh["scene"],
+                                   grid_sharding, sh["state"]),
+                     out_shardings=out_sh)
+
+    def run(state_b, scene_b, grid=None):
+        return jax.lax.stop_gradient(
+            jitted(solver.ctx, scene_b,
+                   grid_b if grid is None else grid, state_b))
+    return run
 
 
 def build_sharded_detect_contact(solver: ClipSolver, mesh: Mesh,

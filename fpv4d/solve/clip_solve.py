@@ -186,7 +186,11 @@ class ClipSolver:
 
     def _nn(self, pts: jnp.ndarray, scene: jnp.ndarray,
             grid=None) -> jnp.ndarray:
-        """[T, N, 3] vs scene [M, 3] -> squared NN distance [T, N]."""
+        """[T, N, 3] vs scene [M, 3] -> squared NN distance [T, N].
+        `grid` may be a VoxelGrid (exact per-step query) or a
+        FrameCands table (lazy-refresh contact path)."""
+        if isinstance(grid, NN.FrameCands):
+            return NN.nn_to_candidates(pts, grid)
         if grid is not None and self.nn_impl == "grid":
             return NN.grid_min_dist(grid, pts)
         impl = "xla" if self.nn_impl == "grid" else self.nn_impl
@@ -237,6 +241,52 @@ class ClipSolver:
                                   verts_w[:, self._skate_right],
                                   weight_right)
         return rec, local_smooth, vert_smooth, skate
+
+    # contact phases eligible for the lazy-refresh candidate tables
+    _CONTACT_PHASES = ("local_a", "global_a", "dct_b")
+
+    def _refresh_cands(self, state: ClipState):
+        """Rebuild the per-frame contact candidate tables from the
+        CURRENT world-space contact vertices (runs between scan
+        chunks, never inside them — unique-sort + row gathers are the
+        expensive ops the per-step path must avoid)."""
+        if "refresh_cands" not in self._compiled:
+            budget = self.config.contact_cell_budget
+
+            @jax.jit
+            def run(ctx, state):
+                verts_w, _, _ = forward_world(
+                    ctx, state, vertex_subset=self.contact_vids)
+                return NN.frame_candidates(ctx.grid, verts_w, budget)
+
+            self._compiled["refresh_cands"] = run
+        return self._compiled["refresh_cands"](self.ctx, state)
+
+    def _use_lazy_contact(self, phase: str) -> bool:
+        return (self.nn_impl == "grid"
+                and self.config.contact_refresh_steps > 0
+                and phase in self._CONTACT_PHASES)
+
+    def _run_phase_auto(self, state, opt_state, target_6d, frame_weights,
+                        num_steps: int, phase: str):
+        """Phase runner with lazy contact refresh: contact phases run
+        as chunks of `contact_refresh_steps` scans, rebuilding the
+        candidate tables between chunks."""
+        if not self._use_lazy_contact(phase):
+            return self._run_phase(state, opt_state, target_6d,
+                                   frame_weights, num_steps, phase)
+        chunk = self.config.contact_refresh_steps
+        hists = []
+        left = num_steps
+        while left > 0:
+            k = min(chunk, left)
+            cands = self._refresh_cands(state)
+            state, opt_state, h = self._run_phase(
+                state, opt_state, target_6d, frame_weights, k, phase,
+                cands=cands)
+            hists.append(h)
+            left -= k
+        return state, opt_state, jnp.concatenate(hists)
 
     def detect_contact(self, state: ClipState) -> jnp.ndarray:
         """Per-frame planted-foot weight (detect_contact,
@@ -355,10 +405,14 @@ class ClipSolver:
         }[phase]
 
     def _run_phase(self, state, opt_state, target_6d, frame_weights,
-                   num_steps: int, phase: str):
+                   num_steps: int, phase: str, cands=None):
         """One optimization phase: `num_steps` Adam steps under a
         static gradient mask, as a single jitted lax.scan (compiled
-        once per (phase, num_steps))."""
+        once per (phase, num_steps)).
+
+        cands: optional NN.FrameCands — evaluate the contact term
+        against per-frame candidate tables instead of per-step grid
+        queries (threaded through ctx.grid; _nn dispatches on type)."""
         key = (phase, num_steps)
         if key not in self._compiled:
             mask = self.phase_mask(phase)
@@ -383,7 +437,10 @@ class ClipSolver:
                 return state, opt_state, hist
 
             self._compiled[key] = run
-        return self._compiled[key](self.ctx, state, opt_state, target_6d,
+        ctx = self.ctx
+        if cands is not None:
+            ctx = ctx._replace(grid=cands)
+        return self._compiled[key](ctx, state, opt_state, target_6d,
                                    frame_weights)
 
     def _run_skate_phase(self, state, opt_state, target_6d, frame_weights,
@@ -453,11 +510,11 @@ class ClipSolver:
         if mode == "local":
             n_a = int(cfg.num_iter * cfg.stage_split)
             n_b = cfg.num_iter - n_a
-            state, opt_state, h = self._run_phase(
+            state, opt_state, h = self._run_phase_auto(
                 state, opt_state, target_6d, frame_weights, n_a, "local_a")
             hist["local_a"] = np.asarray(h)
             ckpt(state, opt_state, "local_a")
-            state, opt_state, h = self._run_phase(
+            state, opt_state, h = self._run_phase_auto(
                 state, opt_state, target_6d, frame_weights, n_b, "local_b")
             hist["local_b"] = np.asarray(h)
             ckpt(state, opt_state, "local_b")
@@ -471,22 +528,22 @@ class ClipSolver:
         elif mode == "global":
             n_a = int(cfg.num_iter * cfg.stage_split)
             n_b = cfg.num_iter - n_a
-            state, opt_state, h = self._run_phase(
+            state, opt_state, h = self._run_phase_auto(
                 state, opt_state, target_6d, frame_weights, n_a, "global_a")
             hist["global_a"] = np.asarray(h)
             ckpt(state, opt_state, "global_a")
-            state, opt_state, h = self._run_phase(
+            state, opt_state, h = self._run_phase_auto(
                 state, opt_state, target_6d, frame_weights, n_b, "global_b")
             hist["global_b"] = np.asarray(h)
             ckpt(state, opt_state, "global_b")
         elif mode == "dct":
             n = cfg.num_iter_dct
             n_a = int(n * cfg.dct_split)
-            state, opt_state, h = self._run_phase(
+            state, opt_state, h = self._run_phase_auto(
                 state, opt_state, target_6d, frame_weights, n_a, "dct_a")
             hist["dct_a"] = np.asarray(h)
             ckpt(state, opt_state, "dct_a")
-            state, opt_state, h = self._run_phase(
+            state, opt_state, h = self._run_phase_auto(
                 state, opt_state, target_6d, frame_weights, n - n_a, "dct_b")
             hist["dct_b"] = np.asarray(h)
             ckpt(state, opt_state, "dct_b")

@@ -194,3 +194,49 @@ def test_skate_subset_estimator(scenario):
     # the subset solver still runs the full local schedule
     st, hist = sub.fit(s["body"], s["camera_ext"], mode="local")
     assert np.all(np.isfinite(hist["local_skate"]))
+
+
+def test_lazy_contact_matches_exact_grid(scenario):
+    """Grid mode with lazy candidate refresh: close to the exact
+    per-step grid solve (identical while queries stay within their
+    refresh-time cells), and multi-clip sharded lazy == single-clip
+    lazy exactly."""
+    import jax.numpy as jnp
+    s = scenario
+    kw = dict(model=s["model"], vposer_params=s["vp"],
+              scene_verts=np.asarray(s["scene"]),
+              contact_vids=s["vids"], contact_vids_left=s["vids_l"],
+              contact_vids_right=s["vids_r"], nn_impl="grid",
+              grid_h=0.3)
+    cfg_exact = ClipConfig(num_iter=8, window=6, dct_num=3,
+                           contact_refresh_steps=0)
+    cfg_lazy = ClipConfig(num_iter=8, window=6, dct_num=3,
+                          contact_refresh_steps=4)
+    exact = ClipSolver(config=cfg_exact, **kw)
+    lazy = ClipSolver(config=cfg_lazy, **kw)
+    st_e, hist_e = exact.fit(s["body"], s["camera_ext"], mode="local")
+    st_l, hist_l = lazy.fit(s["body"], s["camera_ext"], mode="local")
+    assert len(hist_l["local_a"]) == len(hist_e["local_a"])
+    # trajectories stay close (few steps, small drift)
+    np.testing.assert_allclose(np.asarray(st_l.body_6d),
+                               np.asarray(st_e.body_6d), atol=5e-3)
+
+    # sharded multi-clip lazy == per-clip lazy (same chunking)
+    from fpv4d.parallel import sharding as SH
+    from fpv4d.parallel.multi_clip import MultiClipSolver, pad_scenes
+    C = 2
+    bodies = jnp.asarray(np.tile(np.asarray(s["body"])[None], (C, 1, 1)))
+    cams = jnp.asarray(np.tile(np.asarray(s["camera_ext"])[None],
+                               (C, 1, 1, 1)))
+    scenes = pad_scenes([np.asarray(s["scene"])] * C)
+    mesh = SH.make_mesh({"clips": 2})
+    mc = MultiClipSolver(solver=lazy, mesh=mesh, frame_axis=None)
+    state_b, hist_b = mc.fit(bodies, cams, jnp.asarray(scenes),
+                             mode="local")
+    for c in range(C):
+        np.testing.assert_allclose(np.asarray(state_b.body_6d[c]),
+                                   np.asarray(st_l.body_6d),
+                                   atol=2e-5)
+        for k in hist_l:
+            np.testing.assert_allclose(hist_b[k][:, c], hist_l[k],
+                                       atol=2e-5)

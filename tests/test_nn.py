@@ -143,3 +143,49 @@ def test_grid_min_dist_matches_grid_nn(scene):
     g1 = jax.grad(lambda q: jnp.sum(NN.grid_min_dist(grid, q)))(q)
     g2 = jax.grad(lambda q: jnp.sum(NN.grid_nn(grid, q)[0]))(q)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+def test_frame_candidates_nn_matches_plain():
+    """Lazy-refresh contact NN: nn_to_candidates against the
+    frame_candidates table == plain grid query when the per-frame
+    unique-cell count fits the budget (the union is a superset of each
+    query's own-cell candidates, so it can only be tighter)."""
+    import jax
+    import jax.numpy as jnp
+    from fpv4d.ops import nn as NN
+
+    rng = np.random.RandomState(8)
+    scene = rng.randn(2000, 3).astype(np.float32) * 2.0
+    grid = NN.build_voxel_grid(scene, h=0.4)
+    # frame-coherent queries: tight clusters per frame
+    T, N = 6, 50
+    centers = rng.randn(T, 1, 3).astype(np.float32) * 1.5
+    q = jnp.asarray(centers + rng.randn(T, N, 3).astype(np.float32)
+                    * 0.15)
+    d_plain = np.asarray(NN.grid_min_dist(grid, q))
+    cands = NN.frame_candidates(grid, q, budget=128)
+    d_cand = np.asarray(NN.nn_to_candidates(q, cands))
+    np.testing.assert_allclose(d_cand, d_plain, atol=1e-6)
+
+    # gradients agree (custom one-hot-matmul VJP vs autodiff gather)
+    g_plain = np.asarray(jax.grad(
+        lambda x: jnp.sum(NN.grid_min_dist(grid, x)))(q))
+    g_cand = np.asarray(jax.grad(
+        lambda x: jnp.sum(NN.nn_to_candidates(x, cands)))(q))
+    np.testing.assert_allclose(g_cand, g_plain, atol=1e-5)
+
+    # budget overflow: distances stay valid UPPER bounds of the true
+    # NN (min over a subset of scene points), never phantom values
+    cands2 = NN.frame_candidates(grid, q, budget=2)
+    d_tiny = np.asarray(NN.nn_to_candidates(q, cands2))
+    d_true, _ = NN.nn_brute(q, jnp.asarray(scene), "xla")
+    assert np.all(d_tiny >= np.asarray(d_true) - 1e-6)
+
+    # stale candidates: distances stay exact TO THE TABLE (upper
+    # bound semantics), gradients stay finite
+    q2 = q + 0.05
+    d_stale = np.asarray(NN.nn_to_candidates(q2, cands))
+    assert np.all(np.isfinite(d_stale))
+    g = np.asarray(jax.grad(
+        lambda x: jnp.sum(NN.nn_to_candidates(x, cands)))(q2))
+    assert np.all(np.isfinite(g))
