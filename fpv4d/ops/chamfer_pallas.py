@@ -59,13 +59,27 @@ def _nn_kernel(x_ref, y_ref, dist_ref, idx_ref, *, tile_m: int,
     x = x_ref[...]                   # [TILE_Q, 8] = [-2x | 1 | 0...]
     y = y_ref[...]                   # [TILE_M, 8] = [ y | yy | 0...]
 
-    # one MXU matmul yields |y|^2 - 2 x.y for the whole tile pair.
-    # HIGHEST precision: the |y|^2 - 2x.y cancellation loses ~1e-3
-    # relative accuracy at default MXU precision (bf16 passes)
-    part = jax.lax.dot_general(
-        x, y, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)         # [TILE_Q, TILE_M]
+    # MXU matmuls yield |y|^2 - 2 x.y for the whole tile pair.
+    # Mosaic IGNORES the dot_general precision attribute and always
+    # runs single-pass bf16 (measured: |y|^2-2x.y came back with ~0.1
+    # absolute error at |coord| ~ 5, enough to flip argmins between
+    # close candidates) — so emulate f32 with an explicit bf16x3
+    # split: a*b ~= ah*bh + ah*bl + al*bh, each factor exactly
+    # representable in bf16, accumulated in f32 (~2^-16 relative).
+    def split(v):
+        hi = v.astype(jnp.bfloat16)
+        lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
+
+    x_hi, x_lo = split(x)
+    y_hi, y_lo = split(y)
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    part = mm(x_hi, y_hi) + mm(x_hi, y_lo) + mm(x_lo, y_hi)
 
     tile_min = jnp.min(part, axis=1)                            # [TILE_Q]
     tile_arg = (jnp.argmin(part, axis=1) + j * tile_m).astype(jnp.int32)

@@ -50,7 +50,8 @@ class MultiClipSolver:
         # as arguments instead)
         self._compiled = {}
 
-    def _get_step(self, phase, steps: int, shapes_key, grid_b):
+    def _get_step(self, phase, steps: int, shapes_key, grid_b,
+                  dct_windows=None):
         """phase: a phase name, or (name, 'lazy') for the variant fed
         FrameCands tables instead of a VoxelGrid."""
         key = ("step", phase, steps, shapes_key)
@@ -58,7 +59,8 @@ class MultiClipSolver:
             name = phase[0] if isinstance(phase, tuple) else phase
             self._compiled[key] = SH.build_sharded_step(
                 self.solver, self.mesh, name, self.clip_axis,
-                self.frame_axis, grid_b=grid_b, num_steps=steps)
+                self.frame_axis, grid_b=grid_b, num_steps=steps,
+                dct_windows=dct_windows)
         return self._compiled[key]
 
     def _get_detect(self, shapes_key, grid_b):
@@ -139,6 +141,7 @@ class MultiClipSolver:
         lazy_chunk = (cfg.contact_refresh_steps
                       if (grid_b is not None
                           and self.solver.nn_impl == "grid") else 0)
+        W = state_b.c_dct.shape[1]
         hist = {}
         opt_state = None
         for phase, steps in schedule:
@@ -160,7 +163,8 @@ class MultiClipSolver:
                     k = min(lazy_chunk, left)
                     cands_b = refresh(state_b, scene_b, grid=grid_b)
                     step_fn, init_fn = self._get_step(
-                        (phase, "lazy"), k, shapes_key, cands_b)
+                        (phase, "lazy"), k, shapes_key, cands_b,
+                        dct_windows=W)
                     if opt_state is None:
                         opt_state = init_fn(state_b)
                     state_b, opt_state, h = step_fn(
@@ -171,7 +175,8 @@ class MultiClipSolver:
                 h = np.concatenate(hs)
             else:
                 step_fn, init_fn = self._get_step(phase, steps,
-                                                  shapes_key, grid_b)
+                                                  shapes_key, grid_b,
+                                                  dct_windows=W)
                 if opt_state is None:
                     opt_state = init_fn(state_b)
                 state_b, opt_state, h = step_fn(

@@ -31,6 +31,31 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from fpv4d.solve.clip_solve import ClipSolver, ClipState, Ctx
 
 
+def maybe_initialize_distributed(coordinator_address: Optional[str] = None,
+                                 num_processes: Optional[int] = None,
+                                 process_id: Optional[int] = None) -> bool:
+    """Multi-host (DCN) runtime init, gated so single-process runs are
+    a strict no-op.
+
+    Activates when FPV4D_DISTRIBUTED=1 (cluster parameters then come
+    from the standard environment auto-detection: SLURM / GKE / TPU
+    metadata) or when an explicit coordinator_address is given.
+    Returns True if jax.distributed was initialized (or already was).
+    Within a slice, collectives ride ICI; across hosts, DCN — the mesh
+    helpers below are agnostic to that.
+    """
+    import os
+    if jax.process_count() > 1:
+        return True                      # already initialized
+    if coordinator_address is None \
+            and os.environ.get("FPV4D_DISTRIBUTED") != "1":
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id)
+    return True
+
+
 def make_mesh(axes: Dict[str, int],
               devices: Optional[Sequence] = None) -> Mesh:
     """Mesh over the first prod(axes) available devices, e.g.
@@ -44,25 +69,36 @@ def make_mesh(axes: Dict[str, int],
 
 
 def clip_batch_shardings(mesh: Mesh, clip_axis: str = "clips",
-                         frame_axis: Optional[str] = "frames"):
+                         frame_axis: Optional[str] = "frames",
+                         dct_windows: Optional[int] = None):
     """NamedShardings for a batched clip problem.
 
     Batched layout (leading clip axis C, then frame axis T):
       body_6d     [C, T, 78]    -> P(clips, frames)
       scale       [C]           -> P(clips)
       camera_ext  [C, T, 4, 4]  -> P(clips, frames)
-      c_dct       [C, W, ...]   -> P(clips)  (windows stay whole)
+      c_dct       [C, W, ...]   -> P(clips, frames) when the window
+                   count W (pass it as dct_windows) divides evenly
+                   over the frame axis — the [T] -> [W, window]
+                   trajectory reshape of losses.dct_trajectory is then
+                   shard-local and the dct term needs NO collectives;
+                   otherwise P(clips) (windows whole, XLA gathers)
       target_6d   [C, T, 78]    -> P(clips, frames)
       weights     [C, T]        -> P(clips, frames)
       scene       [C, M, 3]     -> P(clips)
     """
     f = frame_axis if (frame_axis and frame_axis in mesh.axis_names) \
         else None
+    f_dct = f
+    if f is not None:
+        nf = mesh.shape[f]
+        if dct_windows is None or dct_windows % nf != 0:
+            f_dct = None
     state = ClipState(
         body_6d=NamedSharding(mesh, P(clip_axis, f)),
         scale=NamedSharding(mesh, P(clip_axis)),
         camera_ext=NamedSharding(mesh, P(clip_axis, f)),
-        c_dct=NamedSharding(mesh, P(clip_axis)),
+        c_dct=NamedSharding(mesh, P(clip_axis, f_dct)),
     )
     return dict(
         state=state,
@@ -90,7 +126,8 @@ def _per_clip_loss(solver: ClipSolver, phase: str):
 def build_sharded_step(solver: ClipSolver, mesh: Mesh, phase: str = "local_a",
                        clip_axis: str = "clips",
                        frame_axis: Optional[str] = "frames",
-                       grid_b=None, num_steps: int = 1):
+                       grid_b=None, num_steps: int = 1,
+                       dct_windows: Optional[int] = None):
     """One optimization phase of the clip solve, batched over clips and
     jitted over the mesh with 2-D (clips x frames) shardings: num_steps
     Adam steps compiled as a single `lax.scan` (no host round-trips —
@@ -113,7 +150,8 @@ def build_sharded_step(solver: ClipSolver, mesh: Mesh, phase: str = "local_a",
     """
     from fpv4d.ops import nn as NN
 
-    sh = clip_batch_shardings(mesh, clip_axis, frame_axis)
+    sh = clip_batch_shardings(mesh, clip_axis, frame_axis,
+                              dct_windows=dct_windows)
     opt = solver._opt
     mask = (_skate_mask() if phase == "skate"
             else solver.phase_mask(phase))
@@ -229,7 +267,7 @@ def _grid_in_axes(grid_b):
 def build_sharded_refresh(solver: ClipSolver, mesh: Mesh,
                           clip_axis: str = "clips",
                           frame_axis: Optional[str] = "frames",
-                          grid_b=None):
+                          grid_b=None, dct_windows: Optional[int] = None):
     """Batched lazy-contact candidate refresh: (state_b, scene_b) ->
     FrameCands with a leading clip axis (the sharded equivalent of
     ClipSolver._refresh_cands, run between scan chunks)."""
@@ -271,7 +309,8 @@ def build_sharded_refresh(solver: ClipSolver, mesh: Mesh,
 def build_sharded_detect_contact(solver: ClipSolver, mesh: Mesh,
                                  clip_axis: str = "clips",
                                  frame_axis: Optional[str] = "frames",
-                                 grid_b=None):
+                                 grid_b=None,
+                                 dct_windows: Optional[int] = None):
     """Batched planted-foot weights: [C] clips -> weight_right [C, T]
     (per-clip ClipSolver.detect_contact, sharded over the mesh)."""
     from fpv4d.ops import nn as NN
@@ -341,8 +380,11 @@ def build_sharded_detect_contact(solver: ClipSolver, mesh: Mesh,
 def shard_batch(mesh: Mesh, state_b: ClipState, target_b, weights_b,
                 scene_b, clip_axis: str = "clips",
                 frame_axis: Optional[str] = "frames"):
-    """Device-put a batched clip problem with the standard shardings."""
-    sh = clip_batch_shardings(mesh, clip_axis, frame_axis)
+    """Device-put a batched clip problem with the standard shardings
+    (c_dct window axis sharded when it divides the frame axis)."""
+    W = state_b.c_dct.shape[1]
+    sh = clip_batch_shardings(mesh, clip_axis, frame_axis,
+                              dct_windows=W)
     return (jax.device_put(state_b, sh["state"]),
             jax.device_put(target_b, sh["target"]),
             jax.device_put(weights_b, sh["weights"]),

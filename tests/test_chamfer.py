@@ -46,12 +46,28 @@ def test_kernel_unaligned_sizes():
 
 
 def test_kernel_large_coordinates():
-    # metric-scale scene clouds have coords in the tens of meters
+    # metric-scale scene clouds have coords in the tens of meters.
+    # The kernel's bf16x3 matmul emulation (Mosaic ignores the
+    # precision attribute, chamfer_pallas._nn_kernel) carries ~2^-16
+    # relative error, so argmins may flip between near-tied candidates
+    # — the reported distance is still exact AT the chosen candidate
+    # (nn_brute re-evaluates), bounding the error by the tie gap.
     x, y = clouds(1, 64, 300, seed=3, scale=20.0)
     d_ref, _ = nn_distance_ref(x, y[None])
     d_ker, _ = nn_distance(x, y, **INTERP)
     np.testing.assert_allclose(np.asarray(d_ker), np.asarray(d_ref),
-                               atol=1e-2, rtol=1e-4)
+                               atol=2e-2, rtol=2e-3)
+    # the production wrapper (exact re-eval at the argmin) can differ
+    # from the true NN only by a near-tie: check against f64 truth
+    from fpv4d.ops import nn as NN
+    d_wrap, _ = NN.nn_brute(x, y, "pallas_interpret")
+    d_true = ((np.asarray(x)[0][:, None].astype(np.float64)
+               - np.asarray(y)[None].astype(np.float64)) ** 2
+              ).sum(-1).min(1)
+    # f32 re-eval rounding can dip marginally below the f64 truth
+    assert np.all(np.asarray(d_wrap)[0] >= d_true * (1 - 1e-4) - 1e-5)
+    np.testing.assert_allclose(np.asarray(d_wrap)[0], d_true,
+                               rtol=2e-3, atol=2e-2)
 
 
 def test_kernel_gradient_matches_reference():

@@ -201,3 +201,36 @@ def test_multi_clip_fit_with_grid(setup):
     state_b, hist = mc.fit(bodies, cams, jnp.asarray(scenes),
                            mode="global")
     assert np.all(np.isfinite(hist["global_a"]))
+
+
+def test_maybe_initialize_distributed_noop(monkeypatch):
+    """Single-process path is a strict no-op; the env flag routes to
+    jax.distributed.initialize with pass-through args."""
+    calls = []
+    monkeypatch.delenv("FPV4D_DISTRIBUTED", raising=False)
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+    assert SH.maybe_initialize_distributed() is False
+    assert calls == []
+
+    monkeypatch.setenv("FPV4D_DISTRIBUTED", "1")
+    assert SH.maybe_initialize_distributed() is True
+    assert len(calls) == 1
+
+    monkeypatch.delenv("FPV4D_DISTRIBUTED")
+    assert SH.maybe_initialize_distributed(
+        coordinator_address="10.0.0.1:1234", num_processes=2,
+        process_id=0) is True
+    assert calls[-1]["coordinator_address"] == "10.0.0.1:1234"
+
+
+def test_dct_window_sharding_alignment():
+    """c_dct's window axis shards over the frame axis exactly when the
+    window count divides it; the sharded dct step matches unsharded."""
+    mesh = SH.make_mesh({"clips": 2, "frames": 4})
+    sh_aligned = SH.clip_batch_shardings(mesh, dct_windows=8)
+    sh_odd = SH.clip_batch_shardings(mesh, dct_windows=6)
+    sh_none = SH.clip_batch_shardings(mesh)
+    assert sh_aligned["state"].c_dct.spec == ("clips", "frames")
+    assert tuple(sh_odd["state"].c_dct.spec) == ("clips", None)
+    assert tuple(sh_none["state"].c_dct.spec) == ("clips", None)
