@@ -81,6 +81,7 @@ def _phase_stats(solver, state, opt_state, target, weights, steps,
                               target, weights)
     stats = {
         "steps": steps,
+        "final_loss": float(out[2][-1]),
         "ms_per_step": round(dt / steps * 1e3, 3),
         "gflops_per_step": round(flops / steps / 1e9, 2),
         "tflops_achieved": round(flops / dt / 1e12, 3),
@@ -89,6 +90,19 @@ def _phase_stats(solver, state, opt_state, target, weights, steps,
         "hbm_frac": round(nbytes / dt / PEAK_BYTES.get(backend, 1e18),
                           4),
     }
+    # the production path for contact phases is the lazy-refresh
+    # candidate-table variant (_run_phase_auto); the exact-grid
+    # numbers above are the semantic roofline
+    if phase != "skate" and solver._use_lazy_contact(phase):
+        out = solver._run_phase_auto(state, opt_state, target, weights,
+                                     steps, phase)
+        jax.block_until_ready(out[0].body_6d)
+        t0 = time.perf_counter()
+        out = solver._run_phase_auto(state, opt_state, target, weights,
+                                     steps, phase)
+        _ = float(out[2][-1])
+        stats["ms_per_step_lazy"] = round(
+            (time.perf_counter() - t0) / steps * 1e3, 3)
     return out[0], out[1], dt, stats
 
 
@@ -131,6 +145,45 @@ def bench_mode(solver, body_j, cam_j, mode, backend, phases_out):
         total += dt
         phases_out["skate"] = stats
     return total, state
+
+
+def bench_dct_closed_form(solver, body_j, cam_j, extras):
+    """Algorithmic speedup demo: the reference fits c_dct from randn
+    for 9,500 Geman-McClure iterations (global_optimization.py:596,
+    :186); the orthonormal-DCT closed-form projection
+    (losses.dct_encode) starts dct_a at the least-squares optimum, so
+    a 10x-shorter schedule reaches an equal-or-better dct loss.
+    Compares against the full schedule's final loss already measured
+    by bench_mode (extras['phases']['dct_a'])."""
+    import dataclasses
+    import jax
+    cfg_cf = dataclasses.replace(
+        solver.config, dct_closed_form_init=True,
+        num_iter_dct=max(20, solver.config.num_iter_dct // 10))
+    solver_cf = type(solver)(
+        model=solver.model, vposer_params=solver.vposer_params,
+        scene_verts=solver.scene_verts,
+        contact_vids=solver.contact_vids,
+        contact_vids_left=solver.contact_vids_left,
+        contact_vids_right=solver.contact_vids_right, config=cfg_cf,
+        nn_impl=solver.nn_impl)
+    state, hist = solver_cf.fit(body_j, cam_j, mode="dct")   # compile
+    jax.block_until_ready(state.body_6d)
+    t0 = time.perf_counter()
+    state, hist = solver_cf.fit(body_j, cam_j, mode="dct")
+    jax.block_until_ready(state.body_6d)
+    dt = time.perf_counter() - t0
+    full_final = extras["phases"].get("dct_a", {}).get("final_loss")
+    extras["dct_closed_form"] = {
+        "steady_s": round(dt, 3),
+        "iters": cfg_cf.num_iter_dct,
+        "dct_a_final": float(hist["dct_a"][-1]),
+        "full_schedule_dct_a_final": full_final,
+    }
+    print(f"[bench] dct closed-form init: {dt:.2f}s at "
+          f"{cfg_cf.num_iter_dct} iters, dct_a final "
+          f"{hist['dct_a'][-1]:.6f} vs full-schedule "
+          f"{full_final}", file=sys.stderr)
 
 
 def main():
@@ -250,17 +303,22 @@ def main():
         print(f"[bench]   {k}: {v[0]:.4f} -> {v[-1]:.4f}",
               file=sys.stderr)
 
-    # per-phase roofline for local + requested other modes
+    # per-phase roofline for every requested mode (exact-grid
+    # semantics; production lazy timings land in ms_per_step_lazy),
+    # plus the public-API production steady time for non-local modes
     for mode in modes:
-        if mode == "local":
-            # phases timed individually for the roofline (the headline
-            # number above is the public-API path)
-            t_mode, _ = bench_mode(solver, body_j, cam_j, "local",
-                                   backend, extras["phases"])
-        else:
-            t_mode, _ = bench_mode(solver, body_j, cam_j, mode,
-                                   backend, extras["phases"])
-            extras["modes"][mode] = {"steady_s": round(t_mode, 3)}
+        t_mode, _ = bench_mode(solver, body_j, cam_j, mode,
+                               backend, extras["phases"])
+        if mode != "local":
+            state_m, _ = solver.fit(body_j, cam_j, mode=mode)
+            jax.block_until_ready(state_m.body_6d)
+            t0 = time.perf_counter()
+            state_m, _ = solver.fit(body_j, cam_j, mode=mode)
+            _ = float(state_m.scale)
+            dt_m = time.perf_counter() - t0
+            extras["modes"][mode] = {"steady_s": round(dt_m, 3),
+                                     "steady_exact_s": round(t_mode, 3)}
+            t_mode = dt_m
         print(f"[bench] mode {mode}: steady {t_mode:.2f}s",
               file=sys.stderr)
     for k, v in extras["phases"].items():
@@ -268,6 +326,13 @@ def main():
               f"{v['gflops_per_step']}GF {v['tflops_achieved']}TF/s "
               f"mfu={v['mfu']} {v['gbps_achieved']}GB/s "
               f"hbm={v['hbm_frac']}", file=sys.stderr)
+
+    if "dct" in modes:
+        try:
+            bench_dct_closed_form(solver, body_j, cam_j, extras)
+        except Exception as e:
+            print(f"[bench] dct closed-form demo skipped: {e}",
+                  file=sys.stderr)
 
     # secondary headline (stderr): frames/sec of SMPL-X keypoint
     # fitting per chip — the fit-from-keypoints entry point (the

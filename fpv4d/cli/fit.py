@@ -72,7 +72,10 @@ def main(argv=None) -> int:
             h = hist[name]
             print(f"[fpv4d.fit] stage {name}: {h[0]:.2f} -> "
                   f"{h[-1]:.2f}", file=sys.stderr)
-    paths = body_pkl.save_clip(args.out_dir, params)
+    extra = None
+    if face is not None and "jaw" in hist:
+        extra = {"jaw_pose": hist["jaw"], "expression": hist["expression"]}
+    paths = body_pkl.save_clip(args.out_dir, params, extra=extra)
     print(f"[fpv4d.fit] wrote {len(paths)} pkls to {args.out_dir}",
           file=sys.stderr)
     return 0

@@ -61,13 +61,23 @@ def load_clip(body_path: str) -> np.ndarray:
 def save_clip(fit_path: str, body_75: np.ndarray,
               scale: Optional[float] = None,
               camera_ext: Optional[np.ndarray] = None,
-              prefix: str = "body_gen_") -> List[str]:
+              prefix: str = "body_gen_",
+              extra: Optional[Dict[str, np.ndarray]] = None
+              ) -> List[str]:
     """[T,75] (+scale/camera_ext) -> per-frame pkls
-    ``<fit_path>/body_gen_%06d.pkl`` (global_optimization.py:649-653)."""
+    ``<fit_path>/body_gen_%06d.pkl`` (global_optimization.py:649-653).
+
+    extra: optional dict of [T, ...] arrays stored per frame under
+    their own keys — e.g. jaw_pose/expression, which the reference's
+    smplifyx-produced pkls carry and its visualizers filter out
+    (vis.py:318-321)."""
     os.makedirs(fit_path, exist_ok=True)
     frames = P.encapsulate_frames(body_75, scale, camera_ext)
     paths = []
     for i, d in enumerate(frames):
+        if extra:
+            d = dict(d, **{k: np.asarray(v[i]) for k, v in
+                           extra.items()})
         path = os.path.join(fit_path, f"{prefix}{i:06d}.pkl")
         with open(path, "wb") as f:
             pickle.dump(d, f)

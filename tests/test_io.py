@@ -166,3 +166,22 @@ def test_body_gen_results_layout(tmp_path):
             str(tmp_path / "results" / f"{i:03d}" / "000.pkl"), fr)
     packed = body_pkl.load_clip(str(tmp_path))
     np.testing.assert_allclose(packed, body, atol=1e-6)
+
+
+def test_save_clip_extra_keys(tmp_path):
+    """jaw_pose/expression ride per-frame pkls under their own keys
+    (the reference's smplifyx pkls carry them, vis.py:318-321 filters)
+    and don't break the 75-d reload path."""
+    from fpv4d.io import body_pkl
+    from fpv4d.models import params as P
+    body = np.random.RandomState(0).randn(3, 75).astype(np.float32)
+    jaw = np.random.RandomState(1).randn(3, 3).astype(np.float32)
+    expr = np.random.RandomState(2).randn(3, 10).astype(np.float32)
+    paths = body_pkl.save_clip(str(tmp_path), body,
+                               extra={"jaw_pose": jaw,
+                                      "expression": expr})
+    d0 = body_pkl.load_frame(paths[0])
+    np.testing.assert_allclose(d0["jaw_pose"], jaw[0])
+    np.testing.assert_allclose(d0["expression"], expr[0])
+    np.testing.assert_allclose(body_pkl.load_clip(str(tmp_path)), body,
+                               atol=1e-6)
