@@ -398,6 +398,37 @@ def main():
         extras["pallas_check"] = {"ok": False, "error": str(e)[:200]}
         print(f"[bench] pallas NN check FAILED: {e}", file=sys.stderr)
 
+    # fused candidate-NN Pallas kernel (ops/cand_pallas) vs the XLA
+    # lazy-candidates production path — compiled on this backend, so
+    # correctness AND the relative timing stay measured every round
+    try:
+        from fpv4d.ops import nn as NN
+        from fpv4d.ops import cand_pallas as CP
+        Tc, Nc, Pc = (64, 128, 128) if small else (900, 870, 512)
+        qc = jnp.asarray(rng.randn(Tc, Nc, 3).astype(np.float32) * 2)
+        cc = jnp.asarray(rng.randn(Tc, Pc, 3).astype(np.float32) * 2)
+        vc = jnp.asarray(rng.rand(Tc, Pc) > 0.1)
+        fc = NN.FrameCands(cand=cc, valid=vc)
+        packed = jax.jit(CP.pack_candidates)(cc, vc)
+        interp = backend != "tpu"
+        f_c = jax.jit(lambda q: CP.cand_nn(q, packed, 8, interp))
+        f_x = jax.jit(lambda q: NN.nn_to_candidates(q, fc))
+        d_c = np.asarray(f_c(qc)); d_x = np.asarray(f_x(qc))
+        cerr = float(np.abs(d_c - d_x).max())
+        t0 = time.perf_counter(); _ = float(f_c(qc)[0, 0])
+        ms_c = (time.perf_counter() - t0) * 1e3
+        t0 = time.perf_counter(); _ = float(f_x(qc)[0, 0])
+        ms_x = (time.perf_counter() - t0) * 1e3
+        extras["cand_kernel_check"] = {
+            "ok": bool(cerr < 1e-2), "max_err": cerr,
+            "ms_pallas": round(ms_c, 2), "ms_xla": round(ms_x, 2)}
+        print(f"[bench] cand-NN kernel check: err={cerr:.2e} "
+              f"pallas={ms_c:.2f}ms xla={ms_x:.2f}ms", file=sys.stderr)
+    except Exception as e:
+        extras["cand_kernel_check"] = {"ok": False, "error": str(e)[:200]}
+        print(f"[bench] cand-NN kernel check FAILED: {e}",
+              file=sys.stderr)
+
     # sharded multi-clip throughput vs single-clip (VERDICT r1 item 2)
     if os.environ.get("FPV4D_BENCH_MULTI") == "1":
         try:

@@ -60,6 +60,13 @@ class ClipConfig:
     contact_refresh_steps: int = 50
     # unique-cell budget per frame for the candidate refresh
     contact_cell_budget: int = 64
+    # per-step candidate-NN implementation: 'xla' (fused
+    # broadcast-subtract-min; the measured-fastest production path),
+    # 'pallas' (fused VMEM kernel, ops/cand_pallas — correct on
+    # hardware but ~1.4x slower at bench shapes, kept as the
+    # second implementation/oracle; see PERFORMANCE.md), or
+    # 'pallas_interpret' (CPU tests)
+    cand_impl: str = "xla"
 
 
 @dataclass(frozen=True)

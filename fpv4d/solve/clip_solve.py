@@ -47,6 +47,7 @@ from fpv4d.core import rotations, transforms
 from fpv4d.models import params as P
 from fpv4d.models import vposer as VP
 from fpv4d.models.smplx import SmplxModel
+from fpv4d.ops import cand_pallas as CP
 from fpv4d.ops import losses
 from fpv4d.ops import nn as NN
 
@@ -187,10 +188,15 @@ class ClipSolver:
     def _nn(self, pts: jnp.ndarray, scene: jnp.ndarray,
             grid=None) -> jnp.ndarray:
         """[T, N, 3] vs scene [M, 3] -> squared NN distance [T, N].
-        `grid` may be a VoxelGrid (exact per-step query) or a
-        FrameCands table (lazy-refresh contact path)."""
+        `grid` may be a VoxelGrid (exact per-step query), a FrameCands
+        table (lazy-refresh contact path, fused XLA), or a PackedCands
+        table (same semantics via the fused Pallas kernel)."""
         if isinstance(grid, NN.FrameCands):
             return NN.nn_to_candidates(pts, grid)
+        if isinstance(grid, CP.PackedCands):
+            return CP.cand_nn(
+                pts, grid,
+                interpret=self.config.cand_impl == "pallas_interpret")
         if grid is not None and self.nn_impl == "grid":
             return NN.grid_min_dist(grid, pts)
         impl = "xla" if self.nn_impl == "grid" else self.nn_impl
@@ -252,12 +258,16 @@ class ClipSolver:
         expensive ops the per-step path must avoid)."""
         if "refresh_cands" not in self._compiled:
             budget = self.config.contact_cell_budget
+            pack = self.config.cand_impl.startswith("pallas")
 
             @jax.jit
             def run(ctx, state):
                 verts_w, _, _ = forward_world(
                     ctx, state, vertex_subset=self.contact_vids)
-                return NN.frame_candidates(ctx.grid, verts_w, budget)
+                fc = NN.frame_candidates(ctx.grid, verts_w, budget)
+                if pack:
+                    return CP.pack_candidates(fc.cand, fc.valid)
+                return fc
 
             self._compiled["refresh_cands"] = run
         return self._compiled["refresh_cands"](self.ctx, state)
