@@ -79,8 +79,11 @@ def matrot_to_quat(R: jnp.ndarray) -> jnp.ndarray:
     cands = jnp.stack([q0, q1, q2, q3], axis=-2)          # [..., 4, 4]
     pivots = jnp.stack([s0, s1, s2, s3], axis=-1)         # [..., 4]
     idx = jnp.argmax(pivots, axis=-1)                     # [...]
-    q = jnp.take_along_axis(cands, idx[..., None, None].repeat(4, -1),
-                            axis=-2)[..., 0, :]
+    # branchless one-hot select instead of take_along_axis: dynamic
+    # gathers cost ~20ns/row on TPU regardless of row size, and this
+    # runs on [T, 21] rotations inside every scanned Adam step
+    onehot = (jnp.arange(4, dtype=idx.dtype) == idx[..., None])
+    q = jnp.sum(cands * onehot[..., None].astype(cands.dtype), axis=-2)
     # canonicalize sign (w >= 0) and normalize
     q = q * jnp.where(q[..., :1] < 0, -1.0, 1.0)
     return q / jnp.linalg.norm(q, axis=-1, keepdims=True)

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from fpv4d.solve.clip_solve import ClipSolver, ClipState, Ctx
+from fpv4d.solve.clip_solve import (ClipSolver, ClipState, Ctx,
+                                    mask_stop_gradient)
 
 
 def maybe_initialize_distributed(coordinator_address: Optional[str] = None,
@@ -190,10 +191,54 @@ def build_sharded_step(solver: ClipSolver, mesh: Mesh, phase: str = "local_a",
 
     def phase_scan(ctx_base, scene_b, grid_arg, state_b, opt_state,
                    target_b, weights_b, extra_b):
+        if phase == "dct_a":
+            # dct_a optimizes ONLY c_dct: the per-clip world joint
+            # trajectories are loop-invariant, so the SMPL-X forward
+            # runs once per phase, not once per Adam step (mirrors
+            # ClipSolver._make_dct_only_phase; parity is covered by
+            # the sharded-vs-single dct tests)
+            from fpv4d.ops import losses as L
+            from fpv4d.solve.clip_solve import forward_world
+            cfg = solver.config
+
+            def clip_joints(scene, state):
+                ctx = Ctx(model=ctx_base.model, vposer=ctx_base.vposer,
+                          scene=scene)
+                _, joints_w, _ = forward_world(
+                    ctx, state, vertex_subset=solver.contact_vids)
+                return joints_w
+
+            joints_b = jax.lax.stop_gradient(
+                jax.vmap(clip_joints)(scene_b, state_b))
+
+            def dct_step(carry, _):
+                state_b, opt_state = carry
+                per_clip, g_c = jax.vmap(
+                    jax.value_and_grad(
+                        lambda c, j: L.dct_trajectory(j, c, cfg.window)
+                        * cfg.dct_mult))(state_b.c_dct, joints_b)
+                grads = ClipState(
+                    body_6d=jnp.zeros_like(state_b.body_6d),
+                    scale=jnp.zeros_like(state_b.scale),
+                    camera_ext=jnp.zeros_like(state_b.camera_ext),
+                    c_dct=g_c)
+                updates, opt_state = opt.update(grads, opt_state,
+                                                state_b)
+                state_b = optax.apply_updates(state_b, updates)
+                return (state_b, opt_state), per_clip
+
+            (state_b, opt_state), hist = jax.lax.scan(
+                dct_step, (state_b, opt_state), None, length=num_steps)
+            return state_b, opt_state, hist
+
         def one_step(carry, _):
             state_b, opt_state = carry
+            # static-mask stop_gradient prunes the backward of leaves
+            # this phase never optimizes (see clip_solve)
             (_, per_clip), grads = jax.value_and_grad(
-                batched_loss, argnums=3, has_aux=True)(
+                lambda c, s, g, st, t, w, e: batched_loss(
+                    c, s, g, mask_stop_gradient(st, mask), t, w, e),
+                argnums=3, has_aux=True)(
                     ctx_base, scene_b, grid_arg, state_b, target_b,
                     weights_b, extra_b)
             grads = jax.tree.map(lambda g, m: g * m, grads, mask)

@@ -87,6 +87,20 @@ def _grad_mask(body=False, scale=False, camera=False, dct=False):
                      camera_ext=float(camera), c_dct=float(dct))
 
 
+def mask_stop_gradient(state: ClipState, mask: ClipState) -> ClipState:
+    """Prune the backward graph of statically-masked leaves.
+
+    The phase masks are known at trace time, so leaves a phase never
+    optimizes are wrapped in stop_gradient INSIDE the loss — XLA then
+    dead-code-eliminates their entire upstream backward (e.g. the
+    10,000-iteration dct_a phase optimizes only c_dct and stops paying
+    the SMPL-X FK backward). Numerically identical to the post-hoc
+    `grads * mask` (which stays on as a belt): both give masked leaves
+    exactly-zero gradients, so Adam states evolve identically."""
+    return jax.tree.map(
+        lambda x, m: x if m else jax.lax.stop_gradient(x), state, mask)
+
+
 def forward_world(ctx: Ctx, state: ClipState,
                   vertex_subset=None
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
@@ -426,12 +440,19 @@ class ClipSolver:
         key = (phase, num_steps)
         if key not in self._compiled:
             mask = self.phase_mask(phase)
+            if mask == _grad_mask(dct=True):
+                run = self._make_dct_only_phase(num_steps)
+                self._compiled[key] = run
+                return run(self.ctx if cands is None else
+                           self.ctx._replace(grid=cands), state,
+                           opt_state, target_6d, frame_weights)
 
             @jax.jit
             def run(ctx, state, opt_state, target_6d, frame_weights):
                 def loss_fn(state):
-                    return self.phase_loss(phase, state, target_6d,
-                                           frame_weights, ctx)
+                    return self.phase_loss(
+                        phase, mask_stop_gradient(state, mask),
+                        target_6d, frame_weights, ctx)
 
                 def step(carry, _):
                     state, opt_state = carry
@@ -453,6 +474,52 @@ class ClipSolver:
         return self._compiled[key](ctx, state, opt_state, target_6d,
                                    frame_weights)
 
+    def _make_dct_only_phase(self, num_steps: int):
+        """Specialized runner for phases that optimize ONLY c_dct
+        (phase dct_a — 95% of the reference's heaviest 10,000-iteration
+        schedule, global_optimization.py:596,601): the body is frozen,
+        so the world joint trajectories are LOOP-INVARIANT and the
+        SMPL-X forward runs ONCE per phase instead of once per Adam
+        step. The scanned step is then just the DCT residual + its
+        c_dct gradient. Loss values and c_dct trajectories are
+        bit-identical to the generic path (the hoisted joints_w is
+        exactly what every step recomputed); regression-tested in
+        tests/test_clip_solve.py::test_dct_only_phase_matches_generic.
+        """
+        cfg = self.config
+
+        @jax.jit
+        def run(ctx, state, opt_state, target_6d, frame_weights):
+            # joints need no full-mesh skinning: restrict the vertex
+            # output to the (already-needed) contact subset
+            _, joints_w, _ = forward_world(
+                ctx, state, vertex_subset=self.contact_vids)
+            joints_w = jax.lax.stop_gradient(joints_w)
+
+            def loss_fn(c_dct):
+                # == phase_loss('dct_a'): t.dct * cfg.dct_mult
+                return losses.dct_trajectory(
+                    joints_w, c_dct, cfg.window) * cfg.dct_mult
+
+            def step(carry, _):
+                state, opt_state = carry
+                loss, g_c = jax.value_and_grad(loss_fn)(state.c_dct)
+                grads = ClipState(
+                    body_6d=jnp.zeros_like(state.body_6d),
+                    scale=jnp.zeros_like(state.scale),
+                    camera_ext=jnp.zeros_like(state.camera_ext),
+                    c_dct=g_c)
+                updates, opt_state = self._opt.update(
+                    grads, opt_state, state)
+                state = optax.apply_updates(state, updates)
+                return (state, opt_state), loss
+
+            (state, opt_state), hist = jax.lax.scan(
+                step, (state, opt_state), None, length=num_steps)
+            return state, opt_state, hist
+
+        return run
+
     def _run_skate_phase(self, state, opt_state, target_6d, frame_weights,
                          num_steps: int, weight_right):
         """Local-mode phase 2: anti-foot-skate refinement over the body
@@ -466,7 +533,8 @@ class ClipSolver:
                     weight_right):
                 def loss_fn(state):
                     rec, local_s, vert_s, skate = self.terms2(
-                        state, target_6d, frame_weights, weight_right, ctx)
+                        mask_stop_gradient(state, mask), target_6d,
+                        frame_weights, weight_right, ctx)
                     return vert_s + local_s + rec + skate
 
                 def step(carry, _):

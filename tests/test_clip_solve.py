@@ -1,6 +1,7 @@
 """Integration tests of the clip-level joint solver on a synthetic
 30-frame-class scenario (SURVEY.md section 4 strategy)."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -240,3 +241,41 @@ def test_lazy_contact_matches_exact_grid(scenario):
         for k in hist_l:
             np.testing.assert_allclose(hist_b[k][:, c], hist_l[k],
                                        atol=2e-5)
+
+
+def test_dct_only_phase_matches_generic(solver, scenario):
+    """The specialized dct_a runner (loop-invariant joints hoisted out
+    of the scan, _make_dct_only_phase) must reproduce the generic
+    masked value_and_grad path exactly."""
+    import optax
+    from fpv4d.solve.clip_solve import mask_stop_gradient
+
+    state, target, w = solver.init_state(scenario["body"],
+                                         scenario["camera_ext"])
+    opt_state = solver._opt.init(state)
+    # specialized path (what _run_phase dispatches to for dct_a)
+    st_s, _, h_s = solver._run_phase(state, opt_state, target, w, 5,
+                                     "dct_a")
+
+    # generic reference: full-state value_and_grad with the static
+    # stop-gradient mask, stepped manually
+    mask = solver.phase_mask("dct_a")
+    st_g, opt_g = state, opt_state
+    h_g = []
+    for _ in range(5):
+        def loss_fn(st):
+            return solver.phase_loss("dct_a",
+                                     mask_stop_gradient(st, mask),
+                                     target, w)
+        loss, grads = jax.value_and_grad(loss_fn)(st_g)
+        grads = jax.tree.map(lambda g, m: g * m, grads, mask)
+        updates, opt_g = solver._opt.update(grads, opt_g, st_g)
+        st_g = optax.apply_updates(st_g, updates)
+        h_g.append(float(loss))
+
+    np.testing.assert_allclose(np.asarray(h_s), np.asarray(h_g),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(st_s.c_dct),
+                               np.asarray(st_g.c_dct), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(st_s.body_6d),
+                               np.asarray(st_g.body_6d), atol=0)

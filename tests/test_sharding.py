@@ -234,3 +234,35 @@ def test_dct_window_sharding_alignment():
     assert sh_aligned["state"].c_dct.spec == ("clips", "frames")
     assert tuple(sh_odd["state"].c_dct.spec) == ("clips", None)
     assert tuple(sh_none["state"].c_dct.spec) == ("clips", None)
+
+
+def test_sharded_dct_a_matches_single_clip(setup):
+    """The sharded dct_a specialization (hoisted loop-invariant joints,
+    see build_sharded_step) steps c_dct identically to the single-clip
+    solver's _make_dct_only_phase."""
+    s, solver = setup
+    C, T = 2, 8
+    bodies, cams, scenes = _batch(s, C, T)
+    mesh = SH.make_mesh({"clips": 2})
+    mc = MultiClipSolver(solver=solver, mesh=mesh, frame_axis=None)
+    state_b, target_b, weights_b = mc.init_batch(bodies, cams)
+    sb, tb, wb, scb = SH.shard_batch(mesh, state_b, target_b, weights_b,
+                                     jnp.asarray(scenes),
+                                     frame_axis=None)
+    step_fn, init_fn = SH.build_sharded_step(solver, mesh, "dct_a",
+                                             frame_axis=None,
+                                             num_steps=3)
+    opt_state = init_fn(sb)
+    sb1, _, hist = step_fn(sb, opt_state, tb, wb, scb)
+    hist = np.asarray(hist)
+    assert hist.shape == (3, C)
+
+    for c in range(C):
+        state_c, target_c, w_c = solver.init_state(bodies[c], cams[c])
+        opt_c = solver._opt.init(state_c)
+        st_c, _, h_c = solver._run_phase(state_c, opt_c, target_c, w_c,
+                                         3, "dct_a")
+        np.testing.assert_allclose(hist[:, c], np.asarray(h_c),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(sb1.c_dct[c]),
+                                   np.asarray(st_c.c_dct), atol=1e-6)
