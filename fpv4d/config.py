@@ -60,13 +60,15 @@ class ClipConfig:
     contact_refresh_steps: int = 50
     # unique-cell budget per frame for the candidate refresh
     contact_cell_budget: int = 64
-    # per-step candidate-NN implementation: 'xla' (fused
-    # broadcast-subtract-min; the measured-fastest production path),
-    # 'pallas' (fused VMEM kernel, ops/cand_pallas — correct on
-    # hardware but ~1.4x slower at bench shapes, kept as the
-    # second implementation/oracle; see PERFORMANCE.md), or
-    # 'pallas_interpret' (CPU tests)
-    cand_impl: str = "xla"
+    # per-step candidate-NN implementation: 'auto' (xla_bf16 on TPU,
+    # xla elsewhere), 'xla' (fused f32 broadcast-subtract-min),
+    # 'xla_bf16' (selection pass in bf16 — winner drift only among
+    # ~0.4% near-ties, distance recomputed exactly in f32 at the
+    # winner; measured local_a 11.5 -> 10.6 ms/step at equal final
+    # loss), 'pallas' (fused VMEM kernel, ops/cand_pallas — correct on
+    # hardware but slower at bench shapes, kept as oracle;
+    # PERFORMANCE.md), or 'pallas_interpret' (CPU tests)
+    cand_impl: str = "auto"
 
 
 @dataclass(frozen=True)

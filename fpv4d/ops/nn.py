@@ -348,6 +348,24 @@ def _cand_forward(q, cands):
     return jnp.minimum(dmin, BIG), slot
 
 
+def _cand_forward_bf16(q, cands):
+    """Selection pass of _cand_forward in bf16: halves the VPU/HBM
+    cost of the [T, N, P] broadcast-subtract-min. Only WHICH candidate
+    wins can drift (between near-ties within bf16's ~0.4% relative
+    error); the reported distance is recomputed exactly in f32 at the
+    winner by the caller (same contract as nn_brute's exact
+    re-evaluation)."""
+    qb = q.astype(jnp.bfloat16)
+    cb = cands.cand.astype(jnp.bfloat16)
+    d = jnp.sum((qb[:, :, None, :] - cb[:, None, :, :]) ** 2,
+                axis=-1)                                   # bf16
+    d = jnp.where(cands.valid[:, None, :], d,
+                  jnp.asarray(BIG, jnp.bfloat16))
+    slot = jnp.argmin(d, axis=-1)                          # [T, N]
+    dmin = jnp.min(d, axis=-1).astype(jnp.float32)
+    return jnp.minimum(dmin, BIG), slot
+
+
 def _cand_fwd(q, cands):
     d, slot = _cand_forward(q, cands)
     P = cands.cand.shape[1]
@@ -367,6 +385,44 @@ def _cand_bwd(res, g):
 
 
 nn_to_candidates.defvjp(_cand_fwd, _cand_bwd)
+
+
+@jax.custom_vjp
+def nn_to_candidates_bf16(q: jnp.ndarray, cands: FrameCands
+                          ) -> jnp.ndarray:
+    """nn_to_candidates with the selection pass in bf16 (see
+    _cand_forward_bf16): same [T, N] output contract, exact f32
+    distance at the (possibly near-tie-drifted) winner."""
+    d, _ = _cand16_full(q, cands)
+    return d
+
+
+def _cand16_full(q, cands):
+    dmin_bf, slot = _cand_forward_bf16(q, cands)
+    P = cands.cand.shape[1]
+    onehot = (slot[..., None]
+              == jnp.arange(P, dtype=slot.dtype)).astype(q.dtype)
+    nearest = jnp.einsum("tnp,tpc->tnc", onehot, cands.cand,
+                         precision=jax.lax.Precision.HIGHEST)
+    hit = dmin_bf < BIG * 0.5
+    nearest = jnp.where(hit[..., None], nearest, q)
+    d = jnp.minimum(jnp.sum((q - nearest) ** 2, axis=-1), BIG)
+    return jnp.where(hit, d, BIG), nearest
+
+
+def _cand16_fwd(q, cands):
+    d, nearest = _cand16_full(q, cands)
+    return d, (q, nearest)
+
+
+def _cand16_bwd(res, g):
+    q, nearest = res
+    # nearest == q on miss, so the gradient vanishes there
+    dq = g[..., None] * 2.0 * (q - nearest)
+    return dq, None
+
+
+nn_to_candidates_bf16.defvjp(_cand16_fwd, _cand16_bwd)
 
 
 @jax.custom_vjp

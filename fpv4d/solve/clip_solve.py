@@ -157,6 +157,11 @@ class ClipSolver:
                 # static across all iterations)
                 self.nn_impl = ("grid" if jax.default_backend() == "tpu"
                                 else "xla")
+        self._cand_impl = self.config.cand_impl
+        if self._cand_impl == "auto":
+            self._cand_impl = ("xla_bf16"
+                               if jax.default_backend() == "tpu"
+                               else "xla")
         self._grid = None
         if self.nn_impl == "grid":
             # build from host memory; np scenes avoid a device download
@@ -206,11 +211,13 @@ class ClipSolver:
         table (lazy-refresh contact path, fused XLA), or a PackedCands
         table (same semantics via the fused Pallas kernel)."""
         if isinstance(grid, NN.FrameCands):
+            if self._cand_impl == "xla_bf16":
+                return NN.nn_to_candidates_bf16(pts, grid)
             return NN.nn_to_candidates(pts, grid)
         if isinstance(grid, CP.PackedCands):
             return CP.cand_nn(
                 pts, grid,
-                interpret=self.config.cand_impl == "pallas_interpret")
+                interpret=self._cand_impl == "pallas_interpret")
         if grid is not None and self.nn_impl == "grid":
             return NN.grid_min_dist(grid, pts)
         impl = "xla" if self.nn_impl == "grid" else self.nn_impl
@@ -272,7 +279,7 @@ class ClipSolver:
         expensive ops the per-step path must avoid)."""
         if "refresh_cands" not in self._compiled:
             budget = self.config.contact_cell_budget
-            pack = self.config.cand_impl.startswith("pallas")
+            pack = self._cand_impl.startswith("pallas")
 
             @jax.jit
             def run(ctx, state):

