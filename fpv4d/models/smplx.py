@@ -158,7 +158,8 @@ class SmplxModel:
     def __call__(self,
                  betas: jnp.ndarray,
                  global_orient: jnp.ndarray,
-                 body_pose: jnp.ndarray,
+                 body_pose: Optional[jnp.ndarray] = None,
+                 body_pose_matrot: Optional[jnp.ndarray] = None,
                  transl: Optional[jnp.ndarray] = None,
                  left_hand_pose: Optional[jnp.ndarray] = None,
                  right_hand_pose: Optional[jnp.ndarray] = None,
@@ -174,6 +175,13 @@ class SmplxModel:
         global_orient [B,3] aa, body_pose [B,63] aa (21 joints — the
         caller decodes VPoser latents first), hand poses [B,n_pca] PCA
         coefficients, transl [B,3].
+
+        body_pose_matrot [B,21,3,3]: the 21 body-joint rotations as
+        matrices, bypassing the axis-angle round-trip — VPoser's 6D
+        decode already produces rotation matrices, and the hot solver
+        path was converting matrot -> quat -> aa here -> Rodrigues
+        back to matrot every Adam step (a latency-bound chain of ~20
+        small TPU ops, fwd+bwd). Mutually exclusive with body_pose.
 
         vertex_subset: optional static int array — skin ONLY these
         vertices (pose blendshapes + LBS restricted to the subset;
@@ -206,10 +214,18 @@ class SmplxModel:
         lhand_aa = self.hand_pose_aa(left_hand_pose, "l")   # [B,45]
         rhand_aa = self.hand_pose_aa(right_hand_pose, "r")
 
+        if body_pose_matrot is None:
+            body_aa = body_pose.reshape(B, NUM_BODY_JOINTS, 3)
+        else:
+            # placeholder zeros: full_pose stays aa for the output
+            # contract; the body slots of rot_mats are overwritten
+            # with the given matrices below
+            body_aa = jnp.zeros((B, NUM_BODY_JOINTS, 3), dtype=dtype)
+
         # [B, 55, 3] full axis-angle pose
         full_pose = jnp.concatenate([
             global_orient.reshape(B, 1, 3),
-            body_pose.reshape(B, NUM_BODY_JOINTS, 3),
+            body_aa,
             jaw_pose.reshape(B, 1, 3),
             leye_pose.reshape(B, 1, 3),
             reye_pose.reshape(B, 1, 3),
@@ -258,7 +274,19 @@ class SmplxModel:
             -1, Vs, 3)
 
         # 3. per-joint rotation matrices + pose blendshapes
-        rot_mats = aa_to_matrot(full_pose)                  # [B,55,3,3]
+        if body_pose_matrot is None:
+            rot_mats = aa_to_matrot(full_pose)              # [B,55,3,3]
+        else:
+            # convert only the 34 non-body joints; splice the body
+            # matrices straight in (identical FK/LBS downstream)
+            other = jnp.concatenate(
+                [full_pose[:, :1], full_pose[:, 1 + NUM_BODY_JOINTS:]],
+                axis=1)                                     # [B,34,3]
+            other_m = aa_to_matrot(other)
+            rot_mats = jnp.concatenate(
+                [other_m[:, :1],
+                 body_pose_matrot.astype(dtype),
+                 other_m[:, 1:]], axis=1)
         eye = jnp.eye(3, dtype=dtype)
         pose_feat = (rot_mats[:, 1:] - eye).reshape(B, -1)  # [B,(J-1)*9]
         v_posed = v_shaped + jnp.matmul(

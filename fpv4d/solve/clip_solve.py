@@ -116,10 +116,15 @@ def forward_world(ctx: Ctx, state: ClipState,
     loss actually reads (e.g. the contact set) — a ~12x LBS cut."""
     body = rotations.params_to_3d(state.body_6d)        # [T, 75]
     d = P.split(body)
-    pose63 = VP.decode(ctx.vposer, d["body_pose"])
+    # VPoser's 6D decode yields rotation MATRICES; hand them to the
+    # model directly instead of round-tripping matrot->quat->aa->
+    # Rodrigues every Adam step (a latency-bound chain of small TPU
+    # ops that measured ~1.5 ms/step at T=900)
+    pose_mat = VP.decode(ctx.vposer, d["body_pose"],
+                         output_type="matrot")
     out = ctx.model(
         betas=d["betas"], global_orient=d["global_orient"],
-        body_pose=pose63, transl=d["transl"],
+        body_pose_matrot=pose_mat, transl=d["transl"],
         left_hand_pose=d["left_hand_pose"],
         right_hand_pose=d["right_hand_pose"],
         vertex_subset=vertex_subset)
