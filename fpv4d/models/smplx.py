@@ -160,6 +160,7 @@ class SmplxModel:
                  global_orient: jnp.ndarray,
                  body_pose: Optional[jnp.ndarray] = None,
                  body_pose_matrot: Optional[jnp.ndarray] = None,
+                 global_orient_matrot: Optional[jnp.ndarray] = None,
                  transl: Optional[jnp.ndarray] = None,
                  left_hand_pose: Optional[jnp.ndarray] = None,
                  right_hand_pose: Optional[jnp.ndarray] = None,
@@ -176,12 +177,15 @@ class SmplxModel:
         caller decodes VPoser latents first), hand poses [B,n_pca] PCA
         coefficients, transl [B,3].
 
-        body_pose_matrot [B,21,3,3]: the 21 body-joint rotations as
-        matrices, bypassing the axis-angle round-trip — VPoser's 6D
-        decode already produces rotation matrices, and the hot solver
+        body_pose_matrot [B,21,3,3] / global_orient_matrot [B,3,3]:
+        rotations given as matrices, bypassing the axis-angle
+        round-trip — VPoser's 6D decode (and the solver's 6D orient
+        slot) already produce rotation matrices, and the hot solver
         path was converting matrot -> quat -> aa here -> Rodrigues
         back to matrot every Adam step (a latency-bound chain of ~20
-        small TPU ops, fwd+bwd). Mutually exclusive with body_pose.
+        small TPU ops, fwd+bwd). When a matrot input is given, the
+        corresponding aa argument is ignored and the matching slots of
+        the returned full_pose are zeros.
 
         vertex_subset: optional static int array — skin ONLY these
         vertices (pose blendshapes + LBS restricted to the subset;
@@ -274,19 +278,32 @@ class SmplxModel:
             -1, Vs, 3)
 
         # 3. per-joint rotation matrices + pose blendshapes
-        if body_pose_matrot is None:
+        if body_pose_matrot is None and global_orient_matrot is None:
             rot_mats = aa_to_matrot(full_pose)              # [B,55,3,3]
         else:
-            # convert only the 34 non-body joints; splice the body
-            # matrices straight in (identical FK/LBS downstream)
-            other = jnp.concatenate(
-                [full_pose[:, :1], full_pose[:, 1 + NUM_BODY_JOINTS:]],
-                axis=1)                                     # [B,34,3]
-            other_m = aa_to_matrot(other)
-            rot_mats = jnp.concatenate(
-                [other_m[:, :1],
-                 body_pose_matrot.astype(dtype),
-                 other_m[:, 1:]], axis=1)
+            # convert only the genuinely-aa joints in ONE batched
+            # chain; splice the given matrices straight in (identical
+            # FK/LBS downstream)
+            aa_parts = []
+            if global_orient_matrot is None:
+                aa_parts.append(full_pose[:, :1])
+            if body_pose_matrot is None:
+                aa_parts.append(full_pose[:, 1:1 + NUM_BODY_JOINTS])
+            aa_parts.append(full_pose[:, 1 + NUM_BODY_JOINTS:])
+            conv = aa_to_matrot(jnp.concatenate(aa_parts, axis=1))
+            i = 0
+            if global_orient_matrot is None:
+                head, i = conv[:, :1], 1
+            else:
+                head = global_orient_matrot.reshape(
+                    B, 1, 3, 3).astype(dtype)
+            if body_pose_matrot is None:
+                body_m = conv[:, i:i + NUM_BODY_JOINTS]
+                i += NUM_BODY_JOINTS
+            else:
+                body_m = body_pose_matrot.astype(dtype)
+            rot_mats = jnp.concatenate([head, body_m, conv[:, i:]],
+                                       axis=1)
         eye = jnp.eye(3, dtype=dtype)
         pose_feat = (rot_mats[:, 1:] - eye).reshape(B, -1)  # [B,(J-1)*9]
         v_posed = v_shaped + jnp.matmul(
