@@ -67,6 +67,16 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.fpv4d_kdtree_free.argtypes = [ctypes.c_void_p]
     lib.fpv4d_kdtree_query.argtypes = [ctypes.c_void_p, c_float_p,
                                        ctypes.c_long, c_float_p, c_long_p]
+    c_int_p = ctypes.POINTER(ctypes.c_int)
+    c_double_p = ctypes.POINTER(ctypes.c_double)
+    lib.fpv4d_cand_grid_plan.restype = ctypes.c_long
+    lib.fpv4d_cand_grid_plan.argtypes = [
+        c_float_p, ctypes.c_long, ctypes.c_double, ctypes.c_long,
+        c_float_p, c_long_p, c_double_p]
+    lib.fpv4d_cand_grid_fill.restype = ctypes.c_long
+    lib.fpv4d_cand_grid_fill.argtypes = [
+        c_float_p, ctypes.c_long, c_float_p, c_long_p, ctypes.c_double,
+        ctypes.c_long, c_float_p, c_int_p]
     _lib = lib
     return _lib
 
@@ -113,6 +123,41 @@ def voxel_downsample(pts: np.ndarray, voxel: float) -> np.ndarray:
     # order of np.unique differs from insertion order; acceptable for
     # the fallback (downsampled clouds are order-insensitive consumers)
     return (sums / counts[:, None]).astype(np.float32)
+
+
+def build_cand_tables(pts: np.ndarray, h: float, slots_per_cell: int,
+                      max_cells: int):
+    """Native voxel candidate-table builder (fpv4d.ops.nn.VoxelGrid
+    semantics): [N,3] points -> (cand_pts [C,K,3] f32, cand_idx [C,K]
+    i32, origin [3] f32, dims (3 ints), h). Returns None when the
+    native library is unavailable (caller falls back to numpy)."""
+    lib = _load()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(pts, dtype=np.float32)
+    origin = np.empty(3, np.float32)
+    dims = np.empty(3, np.int64)
+    h_out = np.empty(1, np.float64)
+    num_cells = lib.fpv4d_cand_grid_plan(
+        _fptr(pts), len(pts), ctypes.c_double(h), max_cells,
+        _fptr(origin), dims.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_long)),
+        h_out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if num_cells <= 0:
+        return None
+    K = slots_per_cell
+    cand_pts = np.empty((num_cells, K, 3), np.float32)
+    cand_idx = np.empty((num_cells, K), np.int32)
+    rc = lib.fpv4d_cand_grid_fill(
+        _fptr(pts), len(pts), _fptr(origin),
+        dims.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        ctypes.c_double(float(h_out[0])), K, _fptr(cand_pts),
+        cand_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    if rc != 0:
+        return None
+    return (cand_pts, cand_idx, origin,
+            (int(dims[0]), int(dims[1]), int(dims[2])),
+            float(h_out[0]))
 
 
 class KdTree:

@@ -73,14 +73,33 @@ class VoxelGrid:
 
 def build_voxel_grid(points: np.ndarray, h: float = 0.25,
                      slots_per_cell: int = 32,
-                     max_cells: int = 500_000) -> VoxelGrid:
-    """Host-side construction (numpy; one-time per scene).
+                     max_cells: int = 500_000,
+                     use_native: bool = True) -> VoxelGrid:
+    """Host-side construction (one-time per scene).
 
     Cell size h == search radius guarantee: any true NN within h of a
     query is found exactly as long as the cell's neighborhood holds at
     most K points (overflowing neighborhoods keep the K points nearest
-    to the cell center — voxel-downsample dense scenes first)."""
+    to the cell center — voxel-downsample dense scenes first).
+
+    Uses the C++ builder from the native data plane when available
+    (the numpy active-cell loop below takes 1.5-3 s at 1e5-5e5 scene
+    points vs ~0.1 s native; identical tables up to argsort tie
+    order), falling back to the pure-numpy path otherwise."""
     pts = np.ascontiguousarray(points, dtype=np.float32)
+    if use_native:
+        try:
+            from fpv4d.io import native as NAT
+            res = NAT.build_cand_tables(pts, h, slots_per_cell,
+                                        max_cells)
+        except Exception:
+            res = None
+        if res is not None:
+            cand_pts, cand_idx, origin, dims, h_out = res
+            return VoxelGrid(cand_pts=jnp.asarray(cand_pts),
+                             cand_idx=jnp.asarray(cand_idx),
+                             origin=jnp.asarray(origin),
+                             dims=dims, h=h_out)
     mins = pts.min(axis=0) - h
     maxs = pts.max(axis=0) + h
     dims = np.maximum(1, np.ceil((maxs - mins) / h).astype(np.int64))

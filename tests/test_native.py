@@ -68,3 +68,40 @@ def test_kdtree_matches_pallas_reference(cloud):
     np.testing.assert_allclose(d, np.asarray(d_ref)[0], rtol=1e-3,
                                atol=1e-4)
     assert (i == np.asarray(i_ref)[0]).mean() > 0.999
+
+
+def test_native_cand_tables_match_numpy():
+    """C++ voxel candidate-table builder == the numpy builder
+    bit-for-bit on tie-free data (fpv4d.ops.nn.build_voxel_grid)."""
+    from fpv4d.io import native as NAT
+    from fpv4d.ops.nn import build_voxel_grid
+    if not NAT.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(4)
+    pts = rng.randn(5000, 3).astype(np.float32) * 2
+    gn = build_voxel_grid(pts, h=0.3, slots_per_cell=6)
+    gp = build_voxel_grid(pts, h=0.3, slots_per_cell=6,
+                          use_native=False)
+    assert gn.dims == gp.dims and gn.h == gp.h
+    np.testing.assert_array_equal(np.asarray(gn.cand_idx),
+                                  np.asarray(gp.cand_idx))
+    np.testing.assert_array_equal(np.asarray(gn.cand_pts),
+                                  np.asarray(gp.cand_pts))
+    np.testing.assert_array_equal(np.asarray(gn.origin),
+                                  np.asarray(gp.origin))
+
+
+def test_native_cand_tables_coarsening():
+    """Cell-budget coarsening picks the same h as the numpy path."""
+    from fpv4d.io import native as NAT
+    from fpv4d.ops.nn import build_voxel_grid
+    if not NAT.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(5)
+    pts = (rng.rand(2000, 3).astype(np.float32) * 40)   # big box
+    gn = build_voxel_grid(pts, h=0.1, slots_per_cell=4, max_cells=5000)
+    gp = build_voxel_grid(pts, h=0.1, slots_per_cell=4, max_cells=5000,
+                          use_native=False)
+    assert gn.h == gp.h and gn.dims == gp.dims
+    np.testing.assert_array_equal(np.asarray(gn.cand_idx),
+                                  np.asarray(gp.cand_idx))
