@@ -31,6 +31,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--segments", default="./body_segments")
     p.add_argument("--iters", type=int, default=500)
     p.add_argument("--lr", type=float, default=0.005)
+    p.add_argument("--nn-impl", default=None,
+                   choices=["grid", "pallas", "xla", "ref"],
+                   help="contact NN backend (default: grid on TPU, "
+                        "xla elsewhere)")
+    p.add_argument("--cand-impl", default="auto",
+                   choices=["auto", "xla", "xla_bf16", "pallas",
+                            "pallas_interpret"],
+                   help="per-step candidate-NN implementation "
+                        "(default auto: bf16 selection on TPU)")
+    p.add_argument("--skate-subset", type=int, default=2048,
+                   help="stratified vertex count for the anti-skate "
+                        "smoothing estimator (0 = exact full mesh)")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="orbax-checkpoint solver state after each "
+                        "phase (mid-optimization resume)")
     p.add_argument("--verbose", action="store_true")
     return p
 
@@ -68,15 +83,19 @@ def main(argv=None) -> int:
     vids_r = common.load_contacts(args.segments, ["R_Leg"], nv)
 
     window = 60 if T % 60 == 0 else T
-    cfg = ClipConfig(num_iter=args.iters, lr=args.lr, window=window)
+    cfg = ClipConfig(num_iter=args.iters, lr=args.lr, window=window,
+                     skate_subset=args.skate_subset,
+                     cand_impl=args.cand_impl)
     solver = ClipSolver(model=model, vposer_params=vp,
                         scene_verts=jnp.asarray(scene),
                         contact_vids=np.concatenate([vids_l, vids_r]),
                         contact_vids_left=vids_l,
-                        contact_vids_right=vids_r, config=cfg)
+                        contact_vids_right=vids_r, config=cfg,
+                        nn_impl=args.nn_impl)
 
     state, hist = solver.fit(jnp.asarray(body), jnp.asarray(cam),
-                             mode=args.mode, verbose=True)
+                             mode=args.mode, verbose=True,
+                             checkpoint_dir=args.checkpoint_dir)
     body_out, scale, camera_ext = solver.result_params(state)
     paths = body_pkl.save_clip(args.fit_path, body_out, scale, camera_ext)
     print(f"[fpv4d.globalopt] wrote {len(paths)} pkls to {args.fit_path} "
