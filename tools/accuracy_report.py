@@ -35,13 +35,12 @@ def run(frames: int = 30, num_verts: int = 512, noise_px: float = 2.0,
     args.noise_px, args.body_noise = noise_px, body_noise
     args.iters = iters
 
-    import jax
     import jax.numpy as jnp
     from fpv4d.config import ClipConfig, KeypointFitConfig
     from fpv4d.models import smplx as jsmplx, vposer as VP
     from fpv4d.models import params as P
     from fpv4d.ops import contact
-    from fpv4d.solve.clip_solve import ClipSolver, forward_world
+    from fpv4d.solve.clip_solve import ClipSolver
     from fpv4d.solve.keypoint_fit import (fit_keypoints, project,
                                           BODY25_FROM_SMPLX)
 
