@@ -86,7 +86,11 @@ def _phase_stats(solver, state, opt_state, target, weights, steps,
 
     # XLA cost analysis counts a lax.scan body ONCE (not x trip
     # count), so per-step numbers come from a 1-step compile of the
-    # same phase program (cached; costs one extra tiny run)
+    # same phase program (cached; costs one extra tiny run). Caveat:
+    # the 1-step basis includes the program PROLOGUE — table/ctx
+    # transfers inflate the bandwidth columns, and dct_a's stats
+    # absorb its hoisted once-per-phase SMPL-X forward (the steady
+    # scan deliberately never runs it) — see PERFORMANCE.md.
     if phase == "skate":
         solver._run_skate_phase(state, opt_state, target, weights, 1,
                                 weight_right)
@@ -430,12 +434,14 @@ def main():
         fc = NN.FrameCands(cand=cc, valid=vc)
         packed = jax.jit(CP.pack_candidates)(cc, vc)
         interp = backend != "tpu"
-        f_c = jax.jit(lambda q: CP.cand_nn(q, packed, 8, interp))
-        f_x = jax.jit(lambda q: NN.nn_to_candidates(q, fc))
-        d_c = np.asarray(f_c(qc)); d_x = np.asarray(f_x(qc))
+        # tables ride as ARGS, not closures (closure arrays become HLO
+        # literals and multiply the remote-AOT compile time)
+        f_c = jax.jit(lambda q, p: CP.cand_nn(q, p, 8, interp))
+        f_x = jax.jit(NN.nn_to_candidates)
+        d_c = np.asarray(f_c(qc, packed)); d_x = np.asarray(f_x(qc, fc))
         cerr = float(np.abs(d_c - d_x).max())
-        ms_c = _timed_ms(f_c, qc)
-        ms_x = _timed_ms(f_x, qc)
+        ms_c = _timed_ms(f_c, qc, packed)
+        ms_x = _timed_ms(f_x, qc, fc)
         extras["cand_kernel_check"] = {
             "ok": bool(cerr < 1e-2), "max_err": cerr,
             "ms_pallas": round(ms_c, 2), "ms_xla": round(ms_x, 2)}

@@ -48,10 +48,30 @@ def _load() -> Optional[ctypes.CDLL]:
     if not os.path.exists(_LIB_PATH):
         if not build():
             return None
+    lib = _bind(_LIB_PATH)
+    if lib is None:
+        # a stale .so from an older checkout can miss newer symbols
+        # (ctypes raises AttributeError at bind time) — rebuild once
+        # and retry before giving up on the native path entirely
+        if build():
+            lib = _bind(_LIB_PATH)
+    _lib = lib
+    return _lib
+
+
+def _bind(path: str) -> Optional[ctypes.CDLL]:
     try:
-        lib = ctypes.CDLL(_LIB_PATH)
+        lib = ctypes.CDLL(path)
     except OSError:
         return None
+    try:
+        _resolve_symbols(lib)
+    except AttributeError:
+        return None
+    return lib
+
+
+def _resolve_symbols(lib: ctypes.CDLL) -> None:
     c_float_p = ctypes.POINTER(ctypes.c_float)
     c_long_p = ctypes.POINTER(ctypes.c_long)
     lib.fpv4d_ply_vertex_count.restype = ctypes.c_long
@@ -77,8 +97,6 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.fpv4d_cand_grid_fill.argtypes = [
         c_float_p, ctypes.c_long, c_float_p, c_long_p, ctypes.c_double,
         ctypes.c_long, c_float_p, c_int_p]
-    _lib = lib
-    return _lib
 
 
 def available() -> bool:

@@ -43,8 +43,21 @@ SLICES = {
 }
 DIM = 75          # axis-angle layout
 DIM_6D = 78       # 6D-rotation layout (global_orient takes slots [3:9])
+# same slots in the 78-d layout: global_orient widens 3 -> 6, every
+# slot after it shifts by +3 (derived, so a layout change cannot
+# desync consumers like the solver's direct 78-d decode)
+SLICES_6D = {
+    k: (a if a <= 3 else a + 3, b + 3 if b > 3 else b)
+    for k, (a, b) in SLICES.items()
+}
 VPOSER_SLICE = (16, 48)          # in the 75-d layout
 VPOSER_SLICE_6D = (19, 51)       # in the 78-d layout
+
+
+def split_6d(x) -> Dict[str, jnp.ndarray]:
+    """[..., 78] -> dict of named slices in the 6D layout (views;
+    'global_orient' is the 6-d rotation slot)."""
+    return {k: x[..., a:b] for k, (a, b) in SLICES_6D.items()}
 # betas+pose slice smoothed by the sequential smoother in 6D layout
 # (optimization.py:182 smooths [9:51] = betas[9:19] + pose[19:51])
 SMOOTH_SLICE_6D = (9, 51)

@@ -38,6 +38,11 @@ from fpv4d.ops import chamfer_pallas
 from fpv4d.ops.chamfer_ref import nn_distance_chunked, nn_distance_ref
 
 BIG = 1e4   # saturation distance^2 for empty neighborhoods (grid mode)
+# bf16 rounding of BIG (9984.0), computed host-side via ml_dtypes so
+# module import never touches a device backend (the multichip dryrun
+# relies on lazy backend init)
+import ml_dtypes  # noqa: E402  (ships with jax)
+_BIG_BF16 = float(np.float32(np.asarray(BIG, ml_dtypes.bfloat16)))
 
 _QUERY_BLOCK = 1 << 20   # bounds the [block, K, 3] gather intermediate
 
@@ -423,7 +428,11 @@ def _cand16_full(q, cands):
               == jnp.arange(P, dtype=slot.dtype)).astype(q.dtype)
     nearest = jnp.einsum("tnp,tpc->tnc", onehot, cands.cand,
                          precision=jax.lax.Precision.HIGHEST)
-    hit = dmin_bf < BIG * 0.5
+    # invalid slots carry bf16(BIG) = 9984 (not BIG itself), so the
+    # hit test must use that value: valid candidates with d^2 in
+    # [9984, BIG) saturate to BIG — already deep in the robust loss's
+    # flat far field (sqrt(d)/(sqrt(d)+1) ~ 0.99, gradient ~1e-6)
+    hit = dmin_bf < _BIG_BF16
     nearest = jnp.where(hit[..., None], nearest, q)
     d = jnp.minimum(jnp.sum((q - nearest) ** 2, axis=-1), BIG)
     return jnp.where(hit, d, BIG), nearest

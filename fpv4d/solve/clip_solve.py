@@ -114,26 +114,25 @@ def forward_world(ctx: Ctx, state: ClipState,
 
     vertex_subset (static ids) restricts skinning to the vertices a
     loss actually reads (e.g. the contact set) — a ~12x LBS cut."""
-    # decode straight from the 78-d layout (transl[0:3] orient6[3:9]
-    # betas[9:19] vposer[19:51] lhand[51:63] rhand[63:75] cam[75:78],
-    # fpv4d.models.params): rotations flow as MATRICES end to end —
-    # the 6D orient slot and VPoser's 6D decode both produce matrots,
-    # and the former path round-tripped them through quat -> aa ->
-    # Rodrigues every Adam step (latency-bound chains of small TPU
-    # ops; see PERFORMANCE.md)
-    x = state.body_6d
-    transl, orient6, betas = x[..., 0:3], x[..., 3:9], x[..., 9:19]
-    latent = x[..., 19:51]
-    lhand, rhand, cam_t = x[..., 51:63], x[..., 63:75], x[..., 75:78]
+    # decode straight from the 78-d layout (P.split_6d — canonical
+    # slot table in fpv4d.models.params): rotations flow as MATRICES
+    # end to end — the 6D orient slot and VPoser's 6D decode both
+    # produce matrots, and the former path round-tripped them through
+    # quat -> aa -> Rodrigues every Adam step (latency-bound chains of
+    # small TPU ops; see PERFORMANCE.md)
+    d = P.split_6d(state.body_6d)
+    latent = d["body_pose"]
     pose_mat = VP.decode(ctx.vposer, latent, output_type="matrot")
-    orient_mat = rotations.rot6d_to_matrot(orient6)
+    orient_mat = rotations.rot6d_to_matrot(d["global_orient"])
     out = ctx.model(
-        betas=betas, global_orient=jnp.zeros_like(transl),
+        betas=d["betas"], global_orient=jnp.zeros_like(d["transl"]),
         global_orient_matrot=orient_mat,
-        body_pose_matrot=pose_mat, transl=transl,
-        left_hand_pose=lhand, right_hand_pose=rhand,
+        body_pose_matrot=pose_mat, transl=d["transl"],
+        left_hand_pose=d["left_hand_pose"],
+        right_hand_pose=d["right_hand_pose"],
         vertex_subset=vertex_subset)
-    b2w = transforms.body2world(state.camera_ext, cam_t, state.scale)
+    b2w = transforms.body2world(state.camera_ext,
+                                d["camera_translation"], state.scale)
     verts_w = transforms.transform_points(
         out["vertices"] * state.scale, b2w)
     joints_w = transforms.transform_points(out["joints"][:, :23], b2w)

@@ -373,7 +373,11 @@ long fpv4d_cand_grid_plan(const float *pts, long n, double h,
   for (;;) {
     long prod = 1;
     for (int a = 0; a < 3; a++) {
-      d[a] = std::max(1L, (long)std::ceil((maxs[a] - mins[a]) / h));
+      // FLOAT division: the numpy builder computes (maxs-mins)/h on
+      // f32 arrays (python-float h stays weak), so exact-multiple
+      // extents must round identically here — f64 here could give
+      // 40.000000000000007 -> dims 41 where numpy's f32 gives 40
+      d[a] = std::max(1L, (long)std::ceil((maxs[a] - mins[a]) / (float)h));
       prod *= d[a];
     }
     if (prod <= max_cells) break;
@@ -402,11 +406,13 @@ long fpv4d_cand_grid_fill(const float *pts, long n, const float *origin,
   // preserved within a cell, matching the numpy builder)
   std::vector<long> cell_of(n);
   std::vector<long> counts(num_cells + 1, 0);
-  const double inv = 1.0 / h;
+  const float hf = (float)h;
   for (long i = 0; i < n; i++) {
     long c[3];
     for (int a = 0; a < 3; a++) {
-      long v = (long)std::floor((pts[3 * i + a] - origin[a]) * inv);
+      // f32 subtract + f32 DIVIDE, matching numpy's
+      // floor((pts - mins) / h) on f32 arrays bit for bit
+      long v = (long)std::floor((pts[3 * i + a] - origin[a]) / hf);
       c[a] = std::min(std::max(v, 0L), dims[a] - 1);
     }
     cell_of[i] = (c[0] * dy + c[1]) * dz + c[2];

@@ -21,6 +21,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
 @pytest.fixture(scope="module")
 def report():
     import accuracy_report
+    # frames=24 deliberately exceeds the usual T<=12 CPU test-size
+    # guideline: the recovery claim needs enough frames for the
+    # temporal smoothing to act on (the whole run is ~60 s, one
+    # fixture for both tests)
     return accuracy_report.run(frames=24, num_verts=256, iters=60)
 
 
