@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-dir", default=None,
                    help="orbax-checkpoint solver state after each "
                         "phase (mid-optimization resume)")
+    p.add_argument("--sdf-json", default=None,
+                   help="PROX scene-SDF metadata json (with --sdf-npy "
+                        "activates the collision term)")
+    p.add_argument("--sdf-npy", default=None,
+                   help="PROX scene-SDF values npy")
     p.add_argument("--verbose", action="store_true")
     return p
 
@@ -82,6 +87,13 @@ def main(argv=None) -> int:
     vids_l = common.load_contacts(args.segments, ["L_Leg"], nv)
     vids_r = common.load_contacts(args.segments, ["R_Leg"], nv)
 
+    sdf = None
+    if args.sdf_json and args.sdf_npy:
+        from fpv4d.ops import sdf as SDF
+        sdf = SDF.load_prox_sdf(args.sdf_json, args.sdf_npy)
+        print("[fpv4d.globalopt] scene SDF loaded -> collision term "
+              "active", file=sys.stderr)
+
     window = 60 if T % 60 == 0 else T
     cfg = ClipConfig(num_iter=args.iters, lr=args.lr, window=window,
                      skate_subset=args.skate_subset,
@@ -91,7 +103,7 @@ def main(argv=None) -> int:
                         contact_vids=np.concatenate([vids_l, vids_r]),
                         contact_vids_left=vids_l,
                         contact_vids_right=vids_r, config=cfg,
-                        nn_impl=args.nn_impl)
+                        nn_impl=args.nn_impl, sdf=sdf)
 
     state, hist = solver.fit(jnp.asarray(body), jnp.asarray(cam),
                              mode=args.mode, verbose=True,

@@ -14,7 +14,11 @@ class LossWeights:
     rec: float = 1.0
     vposer: float = 0.001
     contact: float = 0.1
-    collision: float = 0.5      # declared by the reference, unused there
+    # declared by every reference lossconfig but never implemented
+    # there (mesh_intersection import commented out, cvae.py:26);
+    # active in fpv4d when the solver is given a scene SDF
+    # (fpv4d.ops.sdf, ClipSolver(sdf=...))
+    collision: float = 0.5
 
 
 @dataclass(frozen=True)

@@ -50,6 +50,7 @@ from fpv4d.models.smplx import SmplxModel
 from fpv4d.ops import cand_pallas as CP
 from fpv4d.ops import losses
 from fpv4d.ops import nn as NN
+from fpv4d.ops import sdf as SDF
 
 
 class Ctx(NamedTuple):
@@ -59,6 +60,7 @@ class Ctx(NamedTuple):
     vposer: Dict[str, jnp.ndarray]
     scene: jnp.ndarray            # [M, 3]
     grid: object = None           # Optional[NN.VoxelGrid] (impl='grid')
+    sdf_lin: object = None        # Optional[SDF.SdfLin] (collision)
 
 
 class ClipState(NamedTuple):
@@ -71,13 +73,22 @@ class ClipState(NamedTuple):
 
 
 class Terms(NamedTuple):
-    """All loss terms, computed every step (as cal_loss does)."""
+    """All loss terms, computed every step (as cal_loss does).
+
+    ``collision`` completes the reference's declared-but-dead
+    ``weight_collision`` knob (lossconfig at global_optimization.py:685
+    ships the weight; the docstrings promise "scene sdf and the
+    contact loss" but no collision term was ever implemented) — it is
+    0 unless the solver is given a scene SDF (fpv4d.ops.sdf)."""
     rec: jnp.ndarray
     vposer: jnp.ndarray
     contact: jnp.ndarray
     smooth: jnp.ndarray
     world_smooth: jnp.ndarray
     dct: jnp.ndarray
+    collision: jnp.ndarray = 0.0    # plain float default: creating a
+    # device array at class-definition time would initialize a jax
+    # backend on module import (breaks the dryrun's lazy provisioning)
 
 
 def _grad_mask(body=False, scale=False, camera=False, dct=False):
@@ -153,6 +164,10 @@ class ClipSolver:
     nn_impl: Optional[str] = None       # 'grid'|'pallas'|'xla'|'ref'
     grid_h: float = 0.25                # voxel size for impl='grid'
     grid_slots: int = 8
+    # optional scene SDF (fpv4d.ops.sdf): activates the collision
+    # term (weights.collision) on the contact-bearing phases via
+    # lazy linearization — single-clip path only
+    sdf: Optional[SDF.SdfGrid] = None
 
     def __post_init__(self):
         if self.nn_impl is None:
@@ -252,7 +267,13 @@ class ClipSolver:
         world_smooth = losses.first_order_smoothness(joints_w)
         dct = losses.dct_trajectory(joints_w, state.c_dct,
                                     self.config.window)
-        return Terms(rec, vposer, contact, smooth, world_smooth, dct)
+        if ctx.sdf_lin is not None:
+            collision = w.collision * SDF.collision_penalty(
+                verts_w, ctx.sdf_lin)
+        else:
+            collision = jnp.float32(0.0)
+        return Terms(rec, vposer, contact, smooth, world_smooth, dct,
+                     collision)
 
     def terms2(self, state: ClipState, target_6d: jnp.ndarray,
                frame_weights: jnp.ndarray, weight_right: jnp.ndarray,
@@ -306,23 +327,43 @@ class ClipSolver:
                 and self.config.contact_refresh_steps > 0
                 and phase in self._CONTACT_PHASES)
 
+    def _refresh_sdf(self, state: ClipState):
+        """Linearize the scene SDF at the current contact vertices
+        (refresh-time gathers; the per-step collision term is then
+        gather-free, see fpv4d.ops.sdf)."""
+        if "refresh_sdf" not in self._compiled:
+
+            @jax.jit
+            def run(ctx, sdf, state):
+                verts_w, _, _ = forward_world(
+                    ctx, state, vertex_subset=self.contact_vids)
+                return SDF.linearize(sdf, verts_w)
+
+            self._compiled["refresh_sdf"] = run
+        return self._compiled["refresh_sdf"](self.ctx, self.sdf, state)
+
     def _run_phase_auto(self, state, opt_state, target_6d, frame_weights,
                         num_steps: int, phase: str):
-        """Phase runner with lazy contact refresh: contact phases run
+        """Phase runner with lazy refresh: contact-bearing phases run
         as chunks of `contact_refresh_steps` scans, rebuilding the
-        candidate tables between chunks."""
-        if not self._use_lazy_contact(phase):
+        candidate tables (and the SDF linearization when a scene SDF
+        is present) between chunks."""
+        lazy_contact = self._use_lazy_contact(phase)
+        lazy_sdf = (self.sdf is not None
+                    and phase in self._CONTACT_PHASES)
+        if not (lazy_contact or lazy_sdf):
             return self._run_phase(state, opt_state, target_6d,
                                    frame_weights, num_steps, phase)
-        chunk = self.config.contact_refresh_steps
+        chunk = max(1, self.config.contact_refresh_steps)
         hists = []
         left = num_steps
         while left > 0:
             k = min(chunk, left)
-            cands = self._refresh_cands(state)
+            cands = self._refresh_cands(state) if lazy_contact else None
+            lin = self._refresh_sdf(state) if lazy_sdf else None
             state, opt_state, h = self._run_phase(
                 state, opt_state, target_6d, frame_weights, k, phase,
-                cands=cands)
+                cands=cands, sdf_lin=lin)
             hists.append(h)
             left -= k
         return state, opt_state, jnp.concatenate(hists)
@@ -418,19 +459,25 @@ class ClipSolver:
         505-523 local, :564-582 global, :601-620 dct)."""
         cfg = self.config
         t = self.terms(state, target_6d, frame_weights, ctx)
+        # t.collision is 0 unless a scene SDF was supplied; it rides
+        # with the contact term in every contact-bearing phase (the
+        # reference's weight_collision shipped beside weight_contact)
         if phase == "local_a":
-            return t.contact * cfg.local_contact_mult + t.smooth + t.rec
+            return (t.contact * cfg.local_contact_mult + t.smooth
+                    + t.rec + t.collision)
         if phase == "local_b":
             return t.rec + t.smooth * cfg.phase_b_smooth_mult
         if phase == "global_a":
-            return t.contact * cfg.global_contact_mult + t.smooth + t.rec
+            return (t.contact * cfg.global_contact_mult + t.smooth
+                    + t.rec + t.collision)
         if phase == "global_b":
             return t.rec + t.world_smooth + t.smooth \
                 * cfg.phase_b_smooth_mult
         if phase == "dct_a":
             return t.dct * cfg.dct_mult
         if phase == "dct_b":
-            return t.dct * 1e-4 + t.rec * 0.5 + t.contact * 0.1
+            return (t.dct * 1e-4 + t.rec * 0.5 + t.contact * 0.1
+                    + t.collision)
         raise ValueError(f"unknown phase {phase}")
 
     def phase_mask(self, phase: str) -> ClipState:
@@ -444,15 +491,18 @@ class ClipSolver:
         }[phase]
 
     def _run_phase(self, state, opt_state, target_6d, frame_weights,
-                   num_steps: int, phase: str, cands=None):
+                   num_steps: int, phase: str, cands=None,
+                   sdf_lin=None):
         """One optimization phase: `num_steps` Adam steps under a
         static gradient mask, as a single jitted lax.scan (compiled
         once per (phase, num_steps)).
 
         cands: optional NN.FrameCands — evaluate the contact term
         against per-frame candidate tables instead of per-step grid
-        queries (threaded through ctx.grid; _nn dispatches on type)."""
-        key = (phase, num_steps)
+        queries (threaded through ctx.grid; _nn dispatches on type).
+        sdf_lin: optional SDF.SdfLin — activates the linearized
+        collision term for the chunk (threaded through ctx.sdf_lin)."""
+        key = (phase, num_steps, sdf_lin is not None)
         if key not in self._compiled:
             mask = self.phase_mask(phase)
             if mask == _grad_mask(dct=True):
@@ -486,6 +536,8 @@ class ClipSolver:
         ctx = self.ctx
         if cands is not None:
             ctx = ctx._replace(grid=cands)
+        if sdf_lin is not None:
+            ctx = ctx._replace(sdf_lin=sdf_lin)
         return self._compiled[key](ctx, state, opt_state, target_6d,
                                    frame_weights)
 
