@@ -51,16 +51,24 @@ class MultiClipSolver:
         self._compiled = {}
 
     def _get_step(self, phase, steps: int, shapes_key, grid_b,
-                  dct_windows=None):
+                  dct_windows=None, with_sdf: bool = False):
         """phase: a phase name, or (name, 'lazy') for the variant fed
         FrameCands tables instead of a VoxelGrid."""
-        key = ("step", phase, steps, shapes_key)
+        key = ("step", phase, steps, shapes_key, with_sdf)
         if key not in self._compiled:
             name = phase[0] if isinstance(phase, tuple) else phase
             self._compiled[key] = SH.build_sharded_step(
                 self.solver, self.mesh, name, self.clip_axis,
                 self.frame_axis, grid_b=grid_b, num_steps=steps,
-                dct_windows=dct_windows)
+                dct_windows=dct_windows, with_sdf=with_sdf)
+        return self._compiled[key]
+
+    def _get_sdf_refresh(self, shapes_key):
+        key = ("sdf_refresh", shapes_key)
+        if key not in self._compiled:
+            self._compiled[key] = SH.build_sharded_sdf_refresh(
+                self.solver, self.mesh, self.clip_axis,
+                self.frame_axis)
         return self._compiled[key]
 
     def _get_detect(self, shapes_key, grid_b):
@@ -147,29 +155,41 @@ class MultiClipSolver:
         for phase, steps in schedule:
             if steps <= 0:
                 continue
-            lazy = lazy_chunk and phase in self.solver._CONTACT_PHASES
+            use_sdf = (self.solver.sdf is not None
+                       and phase in self.solver._CONTACT_PHASES)
+            lazy = ((lazy_chunk and phase in self.solver._CONTACT_PHASES)
+                    or use_sdf)
             extra_b = None
             if phase == "skate":
                 detect = self._get_detect(shapes_key, grid_b)
                 extra_b = detect(state_b, scene_b, grid=grid_b)
             if lazy:
                 # same lazy-refresh chunking as ClipSolver
-                # ._run_phase_auto: candidate tables rebuilt between
-                # scan chunks, never inside them
-                refresh = self._get_refresh(shapes_key, grid_b)
+                # ._run_phase_auto: candidate tables (and the SDF
+                # linearization) rebuilt between scan chunks, never
+                # inside them
+                lazy_cands = (lazy_chunk
+                              and phase in self.solver._CONTACT_PHASES)
+                chunk = max(1, lazy_chunk or cfg.contact_refresh_steps)
+                refresh = (self._get_refresh(shapes_key, grid_b)
+                           if lazy_cands else None)
                 hs = []
                 left = steps
                 while left > 0:
-                    k = min(lazy_chunk, left)
-                    cands_b = refresh(state_b, scene_b, grid=grid_b)
+                    k = min(chunk, left)
+                    cands_b = (refresh(state_b, scene_b, grid=grid_b)
+                               if lazy_cands else grid_b)
+                    sdf_b = (self._get_sdf_refresh(shapes_key)(state_b)
+                             if use_sdf else None)
                     step_fn, init_fn = self._get_step(
-                        (phase, "lazy"), k, shapes_key, cands_b,
-                        dct_windows=W)
+                        (phase, "lazy") if lazy_cands else phase, k,
+                        shapes_key, cands_b, dct_windows=W,
+                        with_sdf=use_sdf)
                     if opt_state is None:
                         opt_state = init_fn(state_b)
                     state_b, opt_state, h = step_fn(
                         state_b, opt_state, target_b, weights_b,
-                        scene_b, extra_b, grid=cands_b)
+                        scene_b, extra_b, grid=cands_b, sdf_b=sdf_b)
                     hs.append(np.asarray(h))
                     left -= k
                 h = np.concatenate(hs)

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from fpv4d.ops.sdf import SdfLin
 from fpv4d.solve.clip_solve import (ClipSolver, ClipState, Ctx,
                                     mask_stop_gradient)
 
@@ -128,7 +129,8 @@ def build_sharded_step(solver: ClipSolver, mesh: Mesh, phase: str = "local_a",
                        clip_axis: str = "clips",
                        frame_axis: Optional[str] = "frames",
                        grid_b=None, num_steps: int = 1,
-                       dct_windows: Optional[int] = None):
+                       dct_windows: Optional[int] = None,
+                       with_sdf: bool = False):
     """One optimization phase of the clip solve, batched over clips and
     jitted over the mesh with 2-D (clips x frames) shardings: num_steps
     Adam steps compiled as a single `lax.scan` (no host round-trips —
@@ -139,6 +141,11 @@ def build_sharded_step(solver: ClipSolver, mesh: Mesh, phase: str = "local_a",
     grid_b: optional batched VoxelGrid (fpv4d.ops.nn.build_voxel_grid_batch,
     leading clip axis) — enables the voxel-accelerated contact path
     per clip; without it the contact term uses brute XLA NN.
+
+    with_sdf: step_fn takes a trailing batched SDF linearization
+    (fpv4d.ops.sdf.SdfLin with a leading clip axis, from
+    build_sharded_sdf_refresh) and activates the collision term —
+    the sharded twin of ClipSolver's lazy SDF path.
 
     phase='skate' runs the anti-foot-skate objective (terms2); its
     step_fn then takes the planted-foot weights as a trailing [C,T]
@@ -163,34 +170,39 @@ def build_sharded_step(solver: ClipSolver, mesh: Mesh, phase: str = "local_a",
     f = frame_axis if (frame_axis and frame_axis in mesh.axis_names) \
         else None
 
-    def batched_loss(ctx_base, scene_b, grid_b, state_b, target_b,
-                     weights_b, extra_b):
-        # per-clip scene/grid ride the vmapped axes; the shared model
-        # tables broadcast (in_axes=None leaves)
+    sdf_ax = (jax.tree.map(lambda _: 0, SdfLin(s0=0, g=0, v0=0))
+              if with_sdf else None)
+
+    def batched_loss(ctx_base, scene_b, grid_b, sdf_b, state_b,
+                     target_b, weights_b, extra_b):
+        # per-clip scene/grid/sdf ride the vmapped axes; the shared
+        # model tables broadcast (in_axes=None leaves)
         if use_grid:
-            def per_clip(scene, grid_c, state, target, weights, extra):
+            def per_clip(scene, grid_c, sdf_c, state, target, weights,
+                         extra):
                 ctx = Ctx(model=ctx_base.model, vposer=ctx_base.vposer,
-                          scene=scene, grid=grid_c)
+                          scene=scene, grid=grid_c, sdf_lin=sdf_c)
                 return clip_loss(state, target, weights, extra, ctx)
 
             losses = jax.vmap(
                 per_clip,
-                in_axes=(0, grid_ax, 0, 0, 0, extra_ax))(
-                    scene_b, grid_b, state_b, target_b, weights_b,
-                    extra_b)
+                in_axes=(0, grid_ax, sdf_ax, 0, 0, 0, extra_ax))(
+                    scene_b, grid_b, sdf_b, state_b, target_b,
+                    weights_b, extra_b)
         else:
-            def per_clip(scene, state, target, weights, extra):
+            def per_clip(scene, sdf_c, state, target, weights, extra):
                 ctx = Ctx(model=ctx_base.model, vposer=ctx_base.vposer,
-                          scene=scene)
+                          scene=scene, sdf_lin=sdf_c)
                 return clip_loss(state, target, weights, extra, ctx)
 
             losses = jax.vmap(
-                per_clip, in_axes=(0, 0, 0, 0, extra_ax))(
-                    scene_b, state_b, target_b, weights_b, extra_b)
+                per_clip, in_axes=(0, sdf_ax, 0, 0, 0, extra_ax))(
+                    scene_b, sdf_b, state_b, target_b, weights_b,
+                    extra_b)
         return jnp.sum(losses), losses
 
-    def phase_scan(ctx_base, scene_b, grid_arg, state_b, opt_state,
-                   target_b, weights_b, extra_b):
+    def phase_scan(ctx_base, scene_b, grid_arg, sdf_b, state_b,
+                   opt_state, target_b, weights_b, extra_b):
         if phase == "dct_a":
             # dct_a optimizes ONLY c_dct: the per-clip world joint
             # trajectories are loop-invariant, so the SMPL-X forward
@@ -236,11 +248,11 @@ def build_sharded_step(solver: ClipSolver, mesh: Mesh, phase: str = "local_a",
             # static-mask stop_gradient prunes the backward of leaves
             # this phase never optimizes (see clip_solve)
             (_, per_clip), grads = jax.value_and_grad(
-                lambda c, s, g, st, t, w, e: batched_loss(
-                    c, s, g, mask_stop_gradient(st, mask), t, w, e),
-                argnums=3, has_aux=True)(
-                    ctx_base, scene_b, grid_arg, state_b, target_b,
-                    weights_b, extra_b)
+                lambda c, s, g, sd, st, t, w, e: batched_loss(
+                    c, s, g, sd, mask_stop_gradient(st, mask), t, w, e),
+                argnums=4, has_aux=True)(
+                    ctx_base, scene_b, grid_arg, sdf_b, state_b,
+                    target_b, weights_b, extra_b)
             grads = jax.tree.map(lambda g, m: g * m, grads, mask)
             updates, opt_state = opt.update(grads, opt_state, state_b)
             state_b = optax.apply_updates(state_b, updates)
@@ -254,45 +266,128 @@ def build_sharded_step(solver: ClipSolver, mesh: Mesh, phase: str = "local_a",
     extra_sh = (NamedSharding(mesh, P(clip_axis, f)) if phase == "skate"
                 else sh["replicated"])
     zero_extra = jnp.zeros((), jnp.float32)
+    sdf_sh = (jax.tree.map(
+        lambda _: NamedSharding(mesh, P(clip_axis, f)),
+        SdfLin(s0=0, g=0, v0=0)) if with_sdf else None)
 
     if use_grid:
         grid_sharding = jax.tree.map(
             lambda _: NamedSharding(mesh, P(clip_axis)), grid_b)
-        jitted = jax.jit(
-            phase_scan,
-            in_shardings=(sh["replicated"], sh["scene"], grid_sharding,
-                          sh["state"], None, sh["target"], sh["weights"],
-                          extra_sh),
-            out_shardings=out_sh)
+        if with_sdf:
+            jitted = jax.jit(
+                phase_scan,
+                in_shardings=(sh["replicated"], sh["scene"],
+                              grid_sharding, sdf_sh, sh["state"], None,
+                              sh["target"], sh["weights"], extra_sh),
+                out_shardings=out_sh)
 
-        def step_fn(state_b, opt_state, target_b, weights_b, scene_b,
-                    extra_b=None, grid=None):
-            return jitted(solver.ctx, scene_b,
-                          grid_b if grid is None else grid, state_b,
-                          opt_state, target_b, weights_b,
-                          zero_extra if extra_b is None else extra_b)
+            def step_fn(state_b, opt_state, target_b, weights_b,
+                        scene_b, extra_b=None, grid=None, sdf_b=None):
+                return jitted(solver.ctx, scene_b,
+                              grid_b if grid is None else grid, sdf_b,
+                              state_b, opt_state, target_b, weights_b,
+                              zero_extra if extra_b is None else extra_b)
+        else:
+            def with_grid(ctx_base, scene_b, grid_arg, state_b,
+                          opt_state, target_b, weights_b, extra_b):
+                return phase_scan(ctx_base, scene_b, grid_arg, None,
+                                  state_b, opt_state, target_b,
+                                  weights_b, extra_b)
+
+            jitted = jax.jit(
+                with_grid,
+                in_shardings=(sh["replicated"], sh["scene"],
+                              grid_sharding, sh["state"], None,
+                              sh["target"], sh["weights"], extra_sh),
+                out_shardings=out_sh)
+
+            def step_fn(state_b, opt_state, target_b, weights_b,
+                        scene_b, extra_b=None, grid=None, sdf_b=None):
+                return jitted(solver.ctx, scene_b,
+                              grid_b if grid is None else grid, state_b,
+                              opt_state, target_b, weights_b,
+                              zero_extra if extra_b is None else extra_b)
     else:
-        def no_grid(ctx_base, scene_b, state_b, opt_state, target_b,
-                    weights_b, extra_b):
-            return phase_scan(ctx_base, scene_b, None, state_b,
-                              opt_state, target_b, weights_b, extra_b)
+        if with_sdf:
+            def no_grid(ctx_base, scene_b, sdf_b, state_b, opt_state,
+                        target_b, weights_b, extra_b):
+                return phase_scan(ctx_base, scene_b, None, sdf_b,
+                                  state_b, opt_state, target_b,
+                                  weights_b, extra_b)
 
-        jitted = jax.jit(
-            no_grid,
-            in_shardings=(sh["replicated"], sh["scene"], sh["state"],
-                          None, sh["target"], sh["weights"], extra_sh),
-            out_shardings=out_sh)
+            jitted = jax.jit(
+                no_grid,
+                in_shardings=(sh["replicated"], sh["scene"], sdf_sh,
+                              sh["state"], None, sh["target"],
+                              sh["weights"], extra_sh),
+                out_shardings=out_sh)
 
-        def step_fn(state_b, opt_state, target_b, weights_b, scene_b,
-                    extra_b=None, grid=None):
-            return jitted(solver.ctx, scene_b, state_b, opt_state,
-                          target_b, weights_b,
-                          zero_extra if extra_b is None else extra_b)
+            def step_fn(state_b, opt_state, target_b, weights_b,
+                        scene_b, extra_b=None, grid=None, sdf_b=None):
+                return jitted(solver.ctx, scene_b, sdf_b, state_b,
+                              opt_state, target_b, weights_b,
+                              zero_extra if extra_b is None else extra_b)
+        else:
+            def no_grid(ctx_base, scene_b, state_b, opt_state,
+                        target_b, weights_b, extra_b):
+                return phase_scan(ctx_base, scene_b, None, None,
+                                  state_b, opt_state, target_b,
+                                  weights_b, extra_b)
+
+            jitted = jax.jit(
+                no_grid,
+                in_shardings=(sh["replicated"], sh["scene"], sh["state"],
+                              None, sh["target"], sh["weights"],
+                              extra_sh),
+                out_shardings=out_sh)
+
+            def step_fn(state_b, opt_state, target_b, weights_b,
+                        scene_b, extra_b=None, grid=None, sdf_b=None):
+                return jitted(solver.ctx, scene_b, state_b, opt_state,
+                              target_b, weights_b,
+                              zero_extra if extra_b is None else extra_b)
 
     def init_fn(state_b):
         return opt.init(state_b)
 
     return step_fn, init_fn
+
+
+def build_sharded_sdf_refresh(solver: ClipSolver, mesh: Mesh,
+                              clip_axis: str = "clips",
+                              frame_axis: Optional[str] = "frames"):
+    """Batched SDF linearization at the current contact vertices:
+    state_b -> SdfLin with a leading clip axis (sharded twin of
+    ClipSolver._refresh_sdf; the shared solver.sdf grid applies to
+    every clip). Run between scan chunks, never inside them."""
+    from fpv4d.solve.clip_solve import forward_world
+    from fpv4d.ops import sdf as SDFM
+
+    sh = clip_batch_shardings(mesh, clip_axis, frame_axis)
+    f = frame_axis if (frame_axis and frame_axis in mesh.axis_names) \
+        else None
+
+    def batched(ctx_base, sdf, state_b):
+        def one(state):
+            ctx = Ctx(model=ctx_base.model, vposer=ctx_base.vposer,
+                      scene=ctx_base.scene)
+            verts_w, _, _ = forward_world(
+                ctx, state, vertex_subset=solver.contact_vids)
+            return SDFM.linearize(sdf, verts_w)
+        return jax.vmap(one)(state_b)
+
+    out_sh = jax.tree.map(
+        lambda _: NamedSharding(mesh, P(clip_axis, f)),
+        SdfLin(s0=0, g=0, v0=0))
+    jitted = jax.jit(batched,
+                     in_shardings=(sh["replicated"], sh["replicated"],
+                                   sh["state"]),
+                     out_shardings=out_sh)
+
+    def run(state_b):
+        return jax.lax.stop_gradient(
+            jitted(solver.ctx, solver.sdf, state_b))
+    return run
 
 
 def _skate_mask() -> ClipState:

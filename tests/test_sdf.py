@@ -105,3 +105,45 @@ def test_solver_collision_reduces_penetration():
         results[name] = pen
         assert np.all([np.all(np.isfinite(v)) for v in hist.values()])
     assert results["on"] < results["off"]
+
+def test_sharded_collision_matches_single_clip():
+    """Multi-clip sharded fit with a scene SDF reproduces the
+    single-clip solver's trajectories (independent clips, identical
+    per-clip gradients)."""
+    from fpv4d.config import ClipConfig
+    from fpv4d.parallel import sharding as SH
+    from fpv4d.parallel.multi_clip import MultiClipSolver, pad_scenes
+    from fpv4d.solve.clip_solve import ClipSolver
+    from tests.helpers import make_scenario
+
+    s = make_scenario(T=6, num_verts=128, seed=6)
+    body = np.asarray(s["body"]).copy()
+    body[:, 1] -= 1.5
+    grid = SDF.plane_sdf(y0=-1.0, extent=6.0, dim=17)
+    cfg = ClipConfig(num_iter=8, window=3, dct_num=2,
+                     contact_refresh_steps=4)
+    solver = ClipSolver(model=s["model"], vposer_params=s["vp"],
+                        scene_verts=np.asarray(s["scene"]),
+                        contact_vids=s["vids"],
+                        contact_vids_left=s["vids_l"],
+                        contact_vids_right=s["vids_r"],
+                        config=cfg, nn_impl="xla", sdf=grid)
+    st_single, hist_single = solver.fit(jnp.asarray(body),
+                                        s["camera_ext"], mode="local")
+
+    C = 2
+    bodies = jnp.asarray(np.tile(body[None], (C, 1, 1)))
+    cams = jnp.asarray(np.tile(np.asarray(s["camera_ext"])[None],
+                               (C, 1, 1, 1)))
+    scenes = pad_scenes([np.asarray(s["scene"])] * C)
+    mesh = SH.make_mesh({"clips": 2})
+    mc = MultiClipSolver(solver=solver, mesh=mesh, frame_axis=None)
+    st_b, hist_b = mc.fit(bodies, cams, jnp.asarray(scenes),
+                          mode="local")
+    for c in range(C):
+        np.testing.assert_allclose(np.asarray(st_b.body_6d[c]),
+                                   np.asarray(st_single.body_6d),
+                                   atol=2e-5)
+    for k in hist_single:
+        np.testing.assert_allclose(hist_b[k][:, 0], hist_single[k],
+                                   atol=2e-5)
