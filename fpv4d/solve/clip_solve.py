@@ -165,8 +165,9 @@ class ClipSolver:
     grid_h: float = 0.25                # voxel size for impl='grid'
     grid_slots: int = 8
     # optional scene SDF (fpv4d.ops.sdf): activates the collision
-    # term (weights.collision) on the contact-bearing phases via
-    # lazy linearization — single-clip path only
+    # term (weights.collision) on the contact-bearing phases via lazy
+    # linearization (the sharded multi-clip path inherits it through
+    # build_sharded_step's with_sdf variant)
     sdf: Optional[SDF.SdfGrid] = None
 
     def __post_init__(self):
