@@ -503,7 +503,11 @@ class ClipSolver:
         queries (threaded through ctx.grid; _nn dispatches on type).
         sdf_lin: optional SDF.SdfLin — activates the linearized
         collision term for the chunk (threaded through ctx.sdf_lin)."""
-        key = (phase, num_steps, sdf_lin is not None)
+        # key extends only when a SDF linearization rides along, so
+        # plain lookups by (phase, steps) — e.g. bench.py's 1-step
+        # roofline compile — keep working
+        key = ((phase, num_steps) if sdf_lin is None
+               else (phase, num_steps, "sdf"))
         if key not in self._compiled:
             mask = self.phase_mask(phase)
             if mask == _grad_mask(dct=True):
