@@ -46,6 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vposer", default="./vposer")
     p.add_argument("--segments", default="./body_segments")
     p.add_argument("--iters", type=int, default=500)
+    p.add_argument("--sdf-json", default=None,
+                   help="PROX scene-SDF metadata json (with --sdf-npy "
+                        "activates the collision term; one SDF shared "
+                        "by all clips)")
+    p.add_argument("--sdf-npy", default=None,
+                   help="PROX scene-SDF values npy")
     return p
 
 
@@ -93,13 +99,20 @@ def main(argv=None) -> int:
     vids_l = common.load_contacts(args.segments, ["L_Leg"], nv)
     vids_r = common.load_contacts(args.segments, ["R_Leg"], nv)
 
+    sdf = None
+    if args.sdf_json and args.sdf_npy:
+        from fpv4d.ops import sdf as SDF
+        sdf = SDF.load_prox_sdf(args.sdf_json, args.sdf_npy)
+        print("[fpv4d.multiopt] scene SDF loaded -> collision term "
+              "active", file=sys.stderr)
+
     window = 60 if T % 60 == 0 else T
     cfg = ClipConfig(num_iter=args.iters, window=window)
     solver = ClipSolver(model=model, vposer_params=vp,
                         scene_verts=scenes[0],
                         contact_vids=np.concatenate([vids_l, vids_r]),
                         contact_vids_left=vids_l,
-                        contact_vids_right=vids_r, config=cfg)
+                        contact_vids_right=vids_r, config=cfg, sdf=sdf)
 
     n_dev = len(jax.devices())
     axes = parse_mesh(args.mesh) if args.mesh else \
