@@ -40,9 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
                             "pallas_interpret"],
                    help="per-step candidate-NN implementation "
                         "(default auto: bf16 selection on TPU)")
-    p.add_argument("--skate-subset", type=int, default=2048,
+    p.add_argument("--skate-subset", type=int, default=0,
                    help="stratified vertex count for the anti-skate "
-                        "smoothing estimator (0 = exact full mesh)")
+                        "smoothing estimator (default 0 = exact full "
+                        "mesh, matching the reference semantics; "
+                        "e.g. 2048 trades exactness for speed)")
     p.add_argument("--checkpoint-dir", default=None,
                    help="orbax-checkpoint solver state after each "
                         "phase (mid-optimization resume)")

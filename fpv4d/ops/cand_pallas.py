@@ -276,14 +276,17 @@ def cand_nn(q: jnp.ndarray, packed: PackedCands,
 
 def _cand_nn_fwd(q, packed, tb, interpret):
     d, nearest = _forward(q, packed, tb, interpret)
-    return d, (q, nearest)
+    # live = hit AND unsaturated: d == BIG_SAT both on miss and when
+    # the exact recompute saturates, and in both cases the forward
+    # output is constant, so the VJP must vanish there (matching
+    # nn._cand_bwd's f32 semantics).
+    return d, (q, nearest, d < BIG_SAT)
 
 
 def _cand_nn_bwd(tb, interpret, res, g):
-    q, nearest = res
-    # nearest == q where there was no hit, so the gradient vanishes
-    # there without an explicit mask
-    dq = g[..., None] * 2.0 * (q - nearest)
+    q, nearest, live = res
+    dq = jnp.where(live[..., None],
+                   g[..., None] * 2.0 * (q - nearest), 0.0)
     return dq, None
 
 

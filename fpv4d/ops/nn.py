@@ -440,13 +440,17 @@ def _cand16_full(q, cands):
 
 def _cand16_fwd(q, cands):
     d, nearest = _cand16_full(q, cands)
-    return d, (q, nearest)
+    # live = hit AND unsaturated: d == BIG both on miss and when the
+    # exact recompute saturates at BIG, and in both cases the forward
+    # output is the constant BIG, so the VJP must vanish (matching
+    # _cand_bwd's f32 semantics).
+    return d, (q, nearest, d < BIG)
 
 
 def _cand16_bwd(res, g):
-    q, nearest = res
-    # nearest == q on miss, so the gradient vanishes there
-    dq = g[..., None] * 2.0 * (q - nearest)
+    q, nearest, live = res
+    dq = jnp.where(live[..., None],
+                   g[..., None] * 2.0 * (q - nearest), 0.0)
     return dq, None
 
 

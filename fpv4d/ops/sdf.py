@@ -91,9 +91,13 @@ def sample(sdf: SdfGrid, pts: jnp.ndarray
     D = jnp.asarray(sdf.values.shape, jnp.float32)
     cell = (sdf.maxs - sdf.mins) / (D - 1.0)
     u = (pts - sdf.mins) / cell                       # grid coords
-    u = jnp.clip(u, 0.0, D - 1.0 - 1e-6)
-    i0 = jnp.floor(u).astype(jnp.int32)
-    f = u - i0
+    u = jnp.clip(u, 0.0, D - 1.0)
+    # clamp the base corner to D-2 in integers (a float epsilon is
+    # below f32 ulp once D ~ 2^7, e.g. PROX 256^3 grids, and would
+    # round back to D-1, pushing the +1 corners out of bounds)
+    i0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0,
+                  jnp.asarray(sdf.values.shape, jnp.int32) - 2)
+    f = jnp.clip(u - i0, 0.0, 1.0)
     ix, iy, iz = i0[..., 0], i0[..., 1], i0[..., 2]
     fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
 

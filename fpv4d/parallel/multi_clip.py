@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from fpv4d.core import rotations
+from fpv4d.solve import clip_solve
 from fpv4d.solve.clip_solve import ClipSolver, ClipState
 from fpv4d.parallel import sharding as SH
 
@@ -170,7 +171,11 @@ class MultiClipSolver:
                 # inside them
                 lazy_cands = (lazy_chunk
                               and phase in self.solver._CONTACT_PHASES)
-                chunk = max(1, lazy_chunk or cfg.contact_refresh_steps)
+                # fall back to a sane interval when only the SDF forces
+                # lazy mode (contact_refresh_steps may be 0 = exact
+                # contact NN); chunk=1 would re-dispatch every step
+                chunk = max(1, lazy_chunk or cfg.contact_refresh_steps
+                            or clip_solve.DEFAULT_REFRESH_STEPS)
                 refresh = (self._get_refresh(shapes_key, grid_b)
                            if lazy_cands else None)
                 hs = []

@@ -53,6 +53,12 @@ from fpv4d.ops import nn as NN
 from fpv4d.ops import sdf as SDF
 
 
+# lazy-refresh interval used when a scene SDF forces chunked phases
+# but contact_refresh_steps is 0 ("exact contact NN"): without it the
+# phase would re-linearize + re-dispatch every single Adam step.
+DEFAULT_REFRESH_STEPS = 50
+
+
 class Ctx(NamedTuple):
     """Traced context: everything large the objective reads. Passed as
     an argument through every jit boundary (never closed over)."""
@@ -355,7 +361,13 @@ class ClipSolver:
         if not (lazy_contact or lazy_sdf):
             return self._run_phase(state, opt_state, target_6d,
                                    frame_weights, num_steps, phase)
-        chunk = max(1, self.config.contact_refresh_steps)
+        # contact_refresh_steps=0 means "exact contact NN" (no lazy
+        # candidate tables) — but an SDF can still force lazy mode, and
+        # a chunk of 1 would cross the host/jit boundary every Adam
+        # step (~25 ms/dispatch through the TPU tunnel). Fall back to
+        # a sane refresh interval instead.
+        chunk = max(1, self.config.contact_refresh_steps
+                    or DEFAULT_REFRESH_STEPS)
         hists = []
         left = num_steps
         while left > 0:
@@ -510,7 +522,11 @@ class ClipSolver:
                else (phase, num_steps, "sdf"))
         if key not in self._compiled:
             mask = self.phase_mask(phase)
-            if mask == _grad_mask(dct=True):
+            # dispatch on the phase NAME: the specialized runner
+            # hardcodes the dct_a loss recipe, so a future phase that
+            # merely shares the dct-only gradient mask must not be
+            # routed here
+            if phase == "dct_a":
                 run = self._make_dct_only_phase(num_steps)
                 self._compiled[key] = run
                 return run(self.ctx if cands is None else

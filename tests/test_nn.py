@@ -211,3 +211,29 @@ def test_nn_to_candidates_bf16_variant():
     g = np.asarray(jax.grad(
         lambda x: jnp.sum(NN.nn_to_candidates_bf16(x, fc)))(q))
     assert np.all(np.isfinite(g)) and np.all(g[3] == 0.0)
+
+
+def test_candidate_saturated_distance_zero_gradient():
+    """A valid candidate whose distance saturates at BIG yields a
+    CONSTANT forward output, so the VJP must vanish — in the f32 path,
+    the bf16-selection path, and the packed Pallas path alike
+    (round-2 advisor finding)."""
+    from fpv4d.ops import cand_pallas as CP
+    # one frame, one far query (d^2 = 4e4 > BIG) + one near query
+    q = jnp.asarray([[[200.0, 0.0, 0.0], [0.5, 0.0, 0.0]]],
+                    jnp.float32)
+    cand = jnp.zeros((1, 8, 3), jnp.float32)
+    valid = jnp.ones((1, 8), bool)
+    fc = NN.FrameCands(cand=cand, valid=valid)
+    for fn in (NN.nn_to_candidates, NN.nn_to_candidates_bf16):
+        d = np.asarray(fn(q, fc))
+        assert d[0, 0] == NN.BIG and d[0, 1] < NN.BIG
+        g = np.asarray(jax.grad(lambda x: jnp.sum(fn(x, fc)))(q))
+        assert np.all(g[0, 0] == 0.0), fn
+        assert np.any(g[0, 1] != 0.0), fn
+    packed = CP.pack_candidates(cand, valid)
+    fn = lambda x: jnp.sum(CP.cand_nn(x, packed, 8, True))
+    d = np.asarray(CP.cand_nn(q, packed, 8, True))
+    assert d[0, 0] == CP.BIG_SAT and d[0, 1] < CP.BIG_SAT
+    g = np.asarray(jax.grad(fn)(q))
+    assert np.all(g[0, 0] == 0.0) and np.any(g[0, 1] != 0.0)
