@@ -84,23 +84,25 @@ def _phase_stats(solver, state, opt_state, target, weights, steps,
     jax.block_until_ready(out[0].body_6d)
     dt = time.perf_counter() - t0
 
-    # XLA cost analysis counts a lax.scan body ONCE (not x trip
-    # count), so per-step numbers come from a 1-step compile of the
-    # same phase program (cached; costs one extra tiny run). Caveat:
-    # the 1-step basis includes the program PROLOGUE — table/ctx
-    # transfers inflate the bandwidth columns, and dct_a's stats
-    # absorb its hoisted once-per-phase SMPL-X forward (the steady
-    # scan deliberately never runs it) — see PERFORMANCE.md.
+    # Roofline cost basis: a standalone jit of the scan BODY (one
+    # loss -> masked grad -> Adam step, ClipSolver.phase_step_body).
+    # XLA cost analysis counts a lax.scan body once but ALSO counts
+    # the phase program's prologue — ctx/table reads and, for dct_a,
+    # the hoisted once-per-phase SMPL-X forward — which is how r02
+    # published a physically impossible 229 TB/s for dct_a. The body
+    # program is exactly what the steady scan executes per step.
+    body_fn = solver.phase_step_body(phase)
     if phase == "skate":
-        solver._run_skate_phase(state, opt_state, target, weights, 1,
-                                weight_right)
-        jitted1 = solver._compiled[("skate", 1)]
-        flops, nbytes = _cost(jitted1, solver.ctx, state, opt_state,
+        flops, nbytes = _cost(body_fn, solver.ctx, state, opt_state,
                               target, weights, weight_right)
+    elif phase == "dct_a":
+        from fpv4d.solve.clip_solve import forward_world
+        joints_w = jax.jit(lambda ctx, st: forward_world(
+            ctx, st, vertex_subset=solver.contact_vids)[1]
+        )(solver.ctx, state)
+        flops, nbytes = _cost(body_fn, joints_w, state, opt_state)
     else:
-        solver._run_phase(state, opt_state, target, weights, 1, phase)
-        jitted1 = solver._compiled[(phase, 1)]
-        flops, nbytes = _cost(jitted1, solver.ctx, state, opt_state,
+        flops, nbytes = _cost(body_fn, solver.ctx, state, opt_state,
                               target, weights)
     dt_step = dt / steps
     stats = {
@@ -126,8 +128,24 @@ def _phase_stats(solver, state, opt_state, target, weights, steps,
         out = solver._run_phase_auto(state, opt_state, target, weights,
                                      steps, phase)
         _ = float(out[2][-1])
-        stats["ms_per_step_lazy"] = round(
-            (time.perf_counter() - t0) / steps * 1e3, 3)
+        dt_lazy = (time.perf_counter() - t0) / steps
+        stats["ms_per_step_lazy"] = round(dt_lazy * 1e3, 3)
+        # production (lazy candidate-table) cost basis: the same scan
+        # body, but the contact term reads per-frame candidate tables
+        # instead of the full scene grid
+        cands = solver._refresh_cands(state)
+        flops_l, nbytes_l = _cost(body_fn,
+                                  solver.ctx._replace(grid=cands),
+                                  state, opt_state, target, weights)
+        stats["lazy"] = {
+            "gflops_per_step": round(flops_l / 1e9, 2),
+            "tflops_achieved": round(flops_l / dt_lazy / 1e12, 3),
+            "mfu": round(flops_l / dt_lazy
+                         / PEAK_FLOPS.get(backend, 1e18), 4),
+            "gbps_achieved": round(nbytes_l / dt_lazy / 1e9, 1),
+            "hbm_frac": round(nbytes_l / dt_lazy
+                              / PEAK_BYTES.get(backend, 1e18), 4),
+        }
     return out[0], out[1], dt, stats
 
 
@@ -224,84 +242,38 @@ def main():
     ).split(",")
 
     import jax
-    # persistent compilation cache: phase programs are identical
-    # across bench runs, so recompiles (2-3 min of AOT time on the
-    # remote TPU compiler) are skipped after the first run
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(
-                          os.path.abspath(__file__)), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from fpv4d.utils import bench_problem as BP
+    cache_dir = BP.enable_persistent_cache()
     import jax.numpy as jnp
-    from fpv4d.config import ClipConfig
-    from fpv4d.models import smplx as jsmplx
-    from fpv4d.models import vposer
-    from fpv4d.ops import contact
-    from fpv4d.solve.clip_solve import ClipSolver
 
     backend = jax.default_backend()
     print(f"[bench] backend={backend} T={T} V={num_verts} "
           f"scene={scene_pts} iters={num_iter} modes={modes} "
           f"skate_subset={skate_subset}", file=sys.stderr)
 
-    # the synthetic model takes ~20s of single-core numpy to generate;
-    # cache its arrays next to the compilation cache
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    model_cache = os.path.join(cache_dir, f"synthmodel_{num_verts}.npz")
-    if os.path.exists(model_cache):
-        data = np.load(model_cache)
-        model = jsmplx.SmplxModel(
-            **{k: jnp.asarray(data[k]) for k in jsmplx.SmplxModel._LEAVES},
-            faces=data["faces"])
-    else:
-        model = jsmplx.synthetic_model(num_verts=num_verts, seed=0)
-        np.savez(model_cache, faces=model.faces,
-                 **{k: np.asarray(getattr(model, k))
-                    for k in jsmplx.SmplxModel._LEAVES})
-    vp = vposer.random_params(seed=0)
-    rng = np.random.RandomState(0)
-
-    g = int(np.sqrt(scene_pts))
-    xs, zs = np.meshgrid(np.linspace(-5, 5, g), np.linspace(-5, 5, g))
-    scene = np.stack([xs.ravel(), -1.0 + 0.05 * rng.randn(g * g),
-                      zs.ravel()], 1).astype(np.float32)
-
-    segs = contact.synthetic_segments(num_verts, seed=0)
-    vids_l = np.asarray(segs["L_Leg"], np.int32)
-    vids_r = np.asarray(segs["R_Leg"], np.int32)
-
-    cfg = ClipConfig(num_iter=num_iter, num_iter_dct=num_iter_dct,
-                     window=60 if T % 60 == 0 else T, dct_num=5,
-                     skate_subset=skate_subset)
-    solver = ClipSolver(model=model, vposer_params=vp,
-                        scene_verts=scene,  # np: grid builds host-side, device upload is lazy
-                        contact_vids=np.concatenate([vids_l, vids_r]),
-                        contact_vids_left=vids_l,
-                        contact_vids_right=vids_r, config=cfg)
-
-    # smooth synthetic clip (same statistics as tests/helpers.py)
-    def smooth_noise(T, dim, scale):
-        k = 11
-        x = rng.randn(T + k - 1, dim)
-        x = np.stack([np.convolve(x[:, i], np.ones(k) / k, mode="valid")
-                      for i in range(dim)], 1)
-        return (x * scale).astype(np.float32)
-
-    body = np.zeros((T, 75), dtype=np.float32)
-    body[:, 0:3] = smooth_noise(T, 3, 0.3)
-    body[:, 3:6] = smooth_noise(T, 3, 0.2)
-    body[:, 6:16] = rng.randn(10) * 0.3
-    body[:, 16:48] = smooth_noise(T, 32, 0.5)
-    body[:, 48:75] = smooth_noise(T, 27, 0.2)
-    cam = np.tile(np.eye(4, dtype=np.float32), (T, 1, 1))
-    cam[:, :3, 3] = smooth_noise(T, 3, 0.5)
+    prob = BP.standard_problem(
+        T=T, num_verts=num_verts, scene_pts=scene_pts,
+        num_iter=num_iter, num_iter_dct=num_iter_dct,
+        skate_subset=skate_subset, cache_dir=cache_dir)
+    model, vp, solver = prob.model, prob.vp, prob.solver
+    body, cam, scene = prob.body, prob.cam, prob.scene
+    rng = np.random.RandomState(1)
 
     body_j = jnp.asarray(body)
     cam_j = jnp.asarray(cam)
 
     extras = {"backend": backend, "frames": T,
               "skate_subset": skate_subset, "modes": {}, "phases": {}}
+
+    # cold-start record: tools/prewarm.py stamps its run (cold = empty
+    # cache) next to the cache; carried here so the round artifact has
+    # a measured cold-vs-warm first-solve pair
+    stats_path = os.path.join(cache_dir, "prewarm_stats.json")
+    if os.path.exists(stats_path):
+        try:
+            extras["prewarm"] = json.load(open(stats_path))
+        except Exception:
+            pass
 
     # headline: full 'local' fit via the public API — first (incl
     # compile) and steady
@@ -452,13 +424,42 @@ def main():
         print(f"[bench] cand-NN kernel check FAILED: {e}",
               file=sys.stderr)
 
-    # sharded multi-clip throughput vs single-clip (VERDICT r1 item 2)
-    if os.environ.get("FPV4D_BENCH_MULTI") == "1":
+    # accuracy: ground-truth recovery recorded per round, so a
+    # numerics regression breaks the round artifact just like a perf
+    # one (VERDICT r2). Runs CPU-small in a subprocess — keeps the
+    # TPU tunnel free and adds nothing to the remote-AOT cache.
+    try:
+        import subprocess
+        env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+        env.pop("XLA_FLAGS", None)
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "accuracy_report.py"),
+             "--frames", "24", "--num-verts", "256", "--iters", "60"],
+            env=env, capture_output=True, text=True, timeout=1800)
+        extras["accuracy"] = json.loads(
+            r.stdout.strip().splitlines()[-1])
+        print(f"[bench] accuracy: {extras['accuracy']}",
+              file=sys.stderr)
+    except Exception as e:
+        extras["accuracy"] = {"error": str(e)[:200]}
+        print(f"[bench] accuracy block FAILED: {e}", file=sys.stderr)
+
+    # sharded multi-clip throughput vs single-clip: the fleet workload
+    # (BASELINE config 5 is 8 videos over v5e-8, i.e. C clips batched
+    # PER CHIP; the per-chip batched number is what a fleet deployment
+    # sees). Default C=8 on full TPU runs; FPV4D_BENCH_MULTI=N
+    # overrides (0 disables, 1 = legacy 2-clip check).
+    mc_env = os.environ.get("FPV4D_BENCH_MULTI",
+                            "8" if (backend == "tpu" and not small)
+                            else "0")
+    if mc_env not in ("", "0"):
         try:
             from fpv4d.parallel import sharding as SH
             from fpv4d.parallel.multi_clip import (MultiClipSolver,
                                                    pad_scenes)
-            C = 2
+            C = max(2, int(mc_env))
             mesh = SH.make_mesh({"clips": 1})
             mc = MultiClipSolver(solver=solver, mesh=mesh,
                                  frame_axis=None)
@@ -478,11 +479,24 @@ def main():
             extras["multi_clip"] = {
                 "clips": C, "steady_s": round(dt_m, 3),
                 "frame_iters_per_s": round(per_clip_fps),
+                "clips_per_hour_per_chip": round(C * 3600.0 / dt_m, 1),
                 "per_clip_slowdown_vs_single": round(
                     dt_m / (C * dt), 3)}
+            try:
+                ms = jax.local_devices()[0].memory_stats() or {}
+                if "peak_bytes_in_use" in ms:
+                    extras["multi_clip"]["peak_hbm_gb"] = round(
+                        ms["peak_bytes_in_use"] / 2 ** 30, 2)
+                    extras["multi_clip"]["hbm_limit_gb"] = round(
+                        ms.get("bytes_limit", 0) / 2 ** 30, 2)
+            except Exception:
+                pass
             print(f"[bench] multi-clip: {C} clips in {dt_m:.2f}s "
                   f"({per_clip_fps:.0f} frame-iters/s, "
-                  f"{dt_m / (C * dt):.2f}x per-clip vs single)",
+                  f"{C * 3600.0 / dt_m:.1f} clips/h/chip, "
+                  f"{dt_m / (C * dt):.2f}x per-clip vs single, "
+                  f"peak HBM "
+                  f"{extras['multi_clip'].get('peak_hbm_gb', '?')} GB)",
                   file=sys.stderr)
         except Exception as e:
             extras["multi_clip"] = {"error": str(e)[:200]}

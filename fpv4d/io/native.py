@@ -112,6 +112,11 @@ def read_ply_vertices(path: str) -> np.ndarray:
     lib = _load()
     if lib is not None:
         n = lib.fpv4d_ply_vertex_count(path.encode())
+        # belt-and-suspenders vs a stale .so without header validation:
+        # never allocate more vertices than the file's bytes can back
+        # (no PLY encoding packs a vertex in under 2 bytes)
+        if n > 0 and n * 2 > os.path.getsize(path):
+            n = -1
         if n >= 0:
             out = np.empty((n, 3), dtype=np.float32)
             got = lib.fpv4d_ply_read_vertices(path.encode(), _fptr(out), n)

@@ -608,6 +608,85 @@ class ClipSolver:
 
         return run
 
+    def phase_step_body(self, phase: str):
+        """Standalone jit of ONE scan-body step of `phase` — exactly
+        the per-step work inside the phase program's lax.scan (loss ->
+        masked grad -> Adam update), without the program prologue or,
+        for dct_a, the hoisted once-per-phase SMPL-X forward.
+
+        bench.py cost-analyzes this program for the roofline columns:
+        XLA's cost analysis counts a scan body once but also counts
+        the phase prologue, so analysing a full phase program mixes
+        table transfers (and dct_a's hoisted FK) into the per-step
+        numbers — which is how BENCH_r02 reported a physically
+        impossible 229 TB/s for dct_a.
+
+        Signatures:
+          dct_a: f(joints_w, state, opt_state)
+          skate: f(ctx, state, opt_state, target_6d, frame_weights,
+                   weight_right)
+          else:  f(ctx, state, opt_state, target_6d, frame_weights)
+        each returning (state, opt_state, loss)."""
+        cfg = self.config
+        if phase == "dct_a":
+
+            @jax.jit
+            def body(joints_w, state, opt_state):
+                def loss_fn(c_dct):
+                    return losses.dct_trajectory(
+                        joints_w, c_dct, cfg.window) * cfg.dct_mult
+
+                loss, g_c = jax.value_and_grad(loss_fn)(state.c_dct)
+                grads = ClipState(
+                    body_6d=jnp.zeros_like(state.body_6d),
+                    scale=jnp.zeros_like(state.scale),
+                    camera_ext=jnp.zeros_like(state.camera_ext),
+                    c_dct=g_c)
+                updates, opt_state = self._opt.update(
+                    grads, opt_state, state)
+                return (optax.apply_updates(state, updates), opt_state,
+                        loss)
+
+            return body
+
+        if phase == "skate":
+            mask = _grad_mask(body=True)
+
+            @jax.jit
+            def body(ctx, state, opt_state, target_6d, frame_weights,
+                     weight_right):
+                def loss_fn(state):
+                    rec, local_s, vert_s, skate = self.terms2(
+                        mask_stop_gradient(state, mask), target_6d,
+                        frame_weights, weight_right, ctx)
+                    return vert_s + local_s + rec + skate
+
+                loss, grads = jax.value_and_grad(loss_fn)(state)
+                grads = jax.tree.map(lambda g, m: g * m, grads, mask)
+                updates, opt_state = self._opt.update(
+                    grads, opt_state, state)
+                return (optax.apply_updates(state, updates), opt_state,
+                        loss)
+
+            return body
+
+        mask = self.phase_mask(phase)
+
+        @jax.jit
+        def body(ctx, state, opt_state, target_6d, frame_weights):
+            def loss_fn(state):
+                return self.phase_loss(
+                    phase, mask_stop_gradient(state, mask), target_6d,
+                    frame_weights, ctx)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state)
+            grads = jax.tree.map(lambda g, m: g * m, grads, mask)
+            updates, opt_state = self._opt.update(grads, opt_state,
+                                                  state)
+            return optax.apply_updates(state, updates), opt_state, loss
+
+        return body
+
     def _run_skate_phase(self, state, opt_state, target_6d, frame_weights,
                          num_steps: int, weight_right):
         """Local-mode phase 2: anti-foot-skate refinement over the body

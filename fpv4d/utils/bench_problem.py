@@ -1,0 +1,123 @@
+"""The standard benchmark/prewarm problem: a production-shaped
+synthetic clip solve (SMPL-X-sized body, ~100k-point scene, smooth
+synthetic motion), shared by bench.py and tools/prewarm.py so the
+programs they compile are IDENTICAL — prewarming with this module
+guarantees a later bench/solve at the same shapes hits the persistent
+compilation cache.
+
+The reference workload these shapes mirror: 300-frame clips, 10,475
+SMPL-X vertices, Open3D scene clouds (global_optimization.py:491-556).
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import List
+
+import numpy as np
+
+
+@dataclass
+class StandardProblem:
+    model: object          # fpv4d.models.smplx.SmplxModel
+    vp: dict               # VPoser params
+    solver: object         # fpv4d.solve.clip_solve.ClipSolver
+    body: np.ndarray       # [T, 75] synthetic packed params
+    cam: np.ndarray        # [T, 4, 4]
+    scene: np.ndarray      # [M, 3]
+
+
+def default_cache_dir() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache")
+
+
+def enable_persistent_cache(cache_dir: str | None = None) -> str:
+    """Point jax's persistent compilation cache at the repo-local
+    directory (phase programs are identical across runs, so recompiles
+    — minutes of remote-AOT time per program — are skipped after the
+    first run)."""
+    import jax
+    cache_dir = cache_dir or default_cache_dir()
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return cache_dir
+
+
+def cached_synthetic_model(num_verts: int, cache_dir: str, seed: int = 0):
+    """The synthetic SMPL-X-sized model takes ~20 s of single-core
+    numpy to generate; cache its arrays next to the compilation
+    cache."""
+    import jax.numpy as jnp
+    from fpv4d.models import smplx as jsmplx
+
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"synthmodel_{num_verts}.npz")
+    if os.path.exists(path):
+        data = np.load(path)
+        return jsmplx.SmplxModel(
+            **{k: jnp.asarray(data[k]) for k in jsmplx.SmplxModel._LEAVES},
+            faces=data["faces"])
+    model = jsmplx.synthetic_model(num_verts=num_verts, seed=seed)
+    np.savez(path, faces=model.faces,
+             **{k: np.asarray(getattr(model, k))
+                for k in jsmplx.SmplxModel._LEAVES})
+    return model
+
+
+def standard_problem(T: int = 900, num_verts: int = 10475,
+                     scene_pts: int = 100_489, num_iter: int = 500,
+                     num_iter_dct: int = 10000, skate_subset: int = 2048,
+                     cache_dir: str | None = None) -> StandardProblem:
+    """Build the standard problem at the given sizes (defaults are the
+    production/bench shapes; bench's SMALL mode passes tiny ones)."""
+    from fpv4d.config import ClipConfig
+    from fpv4d.models import vposer
+    from fpv4d.ops import contact
+    from fpv4d.solve.clip_solve import ClipSolver
+
+    cache_dir = cache_dir or default_cache_dir()
+    model = cached_synthetic_model(num_verts, cache_dir)
+    vp = vposer.random_params(seed=0)
+    rng = np.random.RandomState(0)
+
+    g = int(np.sqrt(scene_pts))
+    xs, zs = np.meshgrid(np.linspace(-5, 5, g), np.linspace(-5, 5, g))
+    scene = np.stack([xs.ravel(), -1.0 + 0.05 * rng.randn(g * g),
+                      zs.ravel()], 1).astype(np.float32)
+
+    segs = contact.synthetic_segments(num_verts, seed=0)
+    vids_l = np.asarray(segs["L_Leg"], np.int32)
+    vids_r = np.asarray(segs["R_Leg"], np.int32)
+
+    cfg = ClipConfig(num_iter=num_iter, num_iter_dct=num_iter_dct,
+                     window=60 if T % 60 == 0 else T, dct_num=5,
+                     skate_subset=skate_subset)
+    solver = ClipSolver(
+        model=model, vposer_params=vp,
+        scene_verts=scene,  # np: grid builds host-side, upload is lazy
+        contact_vids=np.concatenate([vids_l, vids_r]),
+        contact_vids_left=vids_l, contact_vids_right=vids_r,
+        config=cfg)
+
+    # smooth synthetic clip (same statistics as tests/helpers.py)
+    def smooth_noise(n, dim, scale):
+        k = 11
+        x = rng.randn(n + k - 1, dim)
+        x = np.stack([np.convolve(x[:, i], np.ones(k) / k, mode="valid")
+                      for i in range(dim)], 1)
+        return (x * scale).astype(np.float32)
+
+    body = np.zeros((T, 75), dtype=np.float32)
+    body[:, 0:3] = smooth_noise(T, 3, 0.3)
+    body[:, 3:6] = smooth_noise(T, 3, 0.2)
+    body[:, 6:16] = rng.randn(10) * 0.3
+    body[:, 16:48] = smooth_noise(T, 32, 0.5)
+    body[:, 48:75] = smooth_noise(T, 27, 0.2)
+    cam = np.tile(np.eye(4, dtype=np.float32), (T, 1, 1))
+    cam[:, :3, 3] = smooth_noise(T, 3, 0.5)
+
+    return StandardProblem(model=model, vp=vp, solver=solver,
+                           body=body, cam=cam, scene=scene)

@@ -35,7 +35,10 @@ struct PlyHeader {
   // per-vertex property sizes in bytes; x/y/z offsets within a record
   long record_size = 0;
   long x_off = -1, y_off = -1, z_off = -1;
+  // field ordinals of x/y/z among the vertex properties (ascii rows)
+  int x_idx = -1, y_idx = -1, z_idx = -1;
   int coord_size = 4;  // float32 or float64
+  long x_size = 0, y_size = 0, z_size = 0;
 };
 
 long type_size(const std::string &t) {
@@ -49,13 +52,23 @@ long type_size(const std::string &t) {
   return 0;
 }
 
+// Parse + VALIDATE the header of an untrusted PLY file. Returns false
+// (caller falls back to the pure-Python reader, which raises a clean
+// ValueError) on: non-PLY magic, overlong header lines, negative or
+// lying vertex counts (declared count exceeding what the file's bytes
+// can back — the OOM vector: the Python side allocates
+// vertex_count*12 bytes), mixed x/y/z coordinate sizes, offsets
+// running past the record, or list properties on vertices.
 bool parse_header(FILE *f, PlyHeader *h) {
   char line[1024];
   if (!fgets(line, sizeof line, f)) return false;
   if (strncmp(line, "ply", 3) != 0) return false;
   std::string cur_element;
   long prop_off = 0;
+  int prop_idx = 0;
   while (fgets(line, sizeof line, f)) {
+    if (!strchr(line, '\n') && strlen(line) == sizeof line - 1)
+      return false;  // header line longer than the buffer: reject
     std::string s(line);
     while (!s.empty() && (s.back() == '\n' || s.back() == '\r'))
       s.pop_back();
@@ -66,9 +79,11 @@ bool parse_header(FILE *f, PlyHeader *h) {
       char name[256];
       long count;
       if (sscanf(s.c_str(), "element %255s %ld", name, &count) == 2) {
+        if (count < 0) return false;
         cur_element = name;
         if (cur_element == "vertex") h->vertex_count = count;
         prop_off = 0;
+        prop_idx = 0;
       }
     } else if (s.rfind("property", 0) == 0 && cur_element == "vertex") {
       char t[64], n[64];
@@ -77,18 +92,50 @@ bool parse_header(FILE *f, PlyHeader *h) {
         if (sz == 0) return false;  // list property on vertices: bail
         if (strcmp(n, "x") == 0) {
           h->x_off = prop_off;
+          h->x_idx = prop_idx;
+          h->x_size = sz;
           h->coord_size = (int)sz;
         } else if (strcmp(n, "y") == 0) {
           h->y_off = prop_off;
+          h->y_idx = prop_idx;
+          h->y_size = sz;
         } else if (strcmp(n, "z") == 0) {
           h->z_off = prop_off;
+          h->z_idx = prop_idx;
+          h->z_size = sz;
         }
         prop_off += sz;
+        prop_idx++;
         h->record_size = prop_off;
       }
     } else if (s == "end_header") {
       h->header_bytes = ftell(f);
-      return h->x_off >= 0 && h->y_off >= 0 && h->z_off >= 0;
+      if (h->x_off < 0 || h->y_off < 0 || h->z_off < 0) return false;
+      // mixed-size coordinates would read past the record buffer at
+      // the widest offset; demand uniform x/y/z and in-bounds offsets
+      if (h->x_size != h->y_size || h->y_size != h->z_size)
+        return false;
+      if (h->record_size <= 0 ||
+          h->x_off + h->coord_size > h->record_size ||
+          h->y_off + h->coord_size > h->record_size ||
+          h->z_off + h->coord_size > h->record_size)
+        return false;
+      // the declared count must be backed by actual file bytes
+      // (binary: full records; ascii: >= 2 bytes per row is the
+      // loosest possible line)
+      long data_start = h->header_bytes;
+      if (fseek(f, 0, SEEK_END) != 0) return false;
+      long file_end = ftell(f);
+      if (fseek(f, data_start, SEEK_SET) != 0) return false;
+      if (file_end < data_start) return false;
+      long avail = file_end - data_start;
+      if (h->binary) {
+        if (h->vertex_count > avail / h->record_size) return false;
+      } else {
+        if (h->vertex_count > 0 && h->vertex_count > avail / 2)
+          return false;
+      }
+      return true;
     }
   }
   return false;
@@ -151,23 +198,40 @@ long fpv4d_ply_read_vertices(const char *path, float *out, long max_pts) {
           read_coord(buf.data() + h.z_off, h.coord_size, h.big_endian);
     }
   } else {
-    // ascii: x/y/z are whitespace-separated fields at known property
-    // indices (offsets/coord_size give the field index for 4-byte
-    // uniform assumption is wrong; recompute by scanning all floats)
+    // ascii: x/y/z are whitespace-separated fields at their property
+    // ORDINALS (a file with e.g. nx ny nz before x y z must not read
+    // the normals as coordinates)
     char line[4096];
     for (long i = 0; i < n; i++) {
       if (!fgets(line, sizeof line, f)) {
         fclose(f);
         return i;
       }
-      double x = 0, y = 0, z = 0;
-      if (sscanf(line, "%lf %lf %lf", &x, &y, &z) != 3) {
+      double v[3] = {0, 0, 0};
+      int found = 0, field = 0;
+      char *save = nullptr;
+      for (char *tok = strtok_r(line, " \t\r\n", &save); tok;
+           tok = strtok_r(nullptr, " \t\r\n", &save), field++) {
+        char *end = nullptr;
+        double d = strtod(tok, &end);
+        if (end == tok) {  // non-numeric field where a number belongs
+          if (field == h.x_idx || field == h.y_idx || field == h.z_idx) {
+            fclose(f);
+            return i;
+          }
+          continue;
+        }
+        if (field == h.x_idx) { v[0] = d; found++; }
+        else if (field == h.y_idx) { v[1] = d; found++; }
+        else if (field == h.z_idx) { v[2] = d; found++; }
+      }
+      if (found != 3) {
         fclose(f);
         return i;
       }
-      out[3 * i + 0] = (float)x;
-      out[3 * i + 1] = (float)y;
-      out[3 * i + 2] = (float)z;
+      out[3 * i + 0] = (float)v[0];
+      out[3 * i + 1] = (float)v[1];
+      out[3 * i + 2] = (float)v[2];
     }
   }
   fclose(f);

@@ -279,3 +279,41 @@ def test_dct_only_phase_matches_generic(solver, scenario):
                                np.asarray(st_g.c_dct), atol=1e-7)
     np.testing.assert_allclose(np.asarray(st_s.body_6d),
                                np.asarray(st_g.body_6d), atol=0)
+
+
+def test_phase_step_body_matches_run_phase(solver, scenario):
+    """phase_step_body (bench.py's roofline cost basis) is the EXACT
+    scan body: one call must reproduce _run_phase's 1-step result for
+    a generic phase, the skate phase, and the dct_a specialization."""
+    from fpv4d.solve.clip_solve import forward_world
+    state, target, w = solver.init_state(scenario["body"],
+                                         scenario["camera_ext"])
+    opt_state = solver._opt.init(state)
+
+    st_ref, _, h = solver._run_phase(state, opt_state, target, w, 1,
+                                     "local_a")
+    body = solver.phase_step_body("local_a")
+    st_b, _, loss = body(solver.ctx, state, opt_state, target, w)
+    np.testing.assert_allclose(np.asarray(st_b.body_6d),
+                               np.asarray(st_ref.body_6d), atol=1e-7)
+    np.testing.assert_allclose(float(loss), float(h[0]), rtol=1e-6)
+
+    wr = solver.detect_contact(state)
+    st_ref, _, h = solver._run_skate_phase(state, opt_state, target, w,
+                                           1, wr)
+    st_b, _, loss = solver.phase_step_body("skate")(
+        solver.ctx, state, opt_state, target, w, wr)
+    np.testing.assert_allclose(np.asarray(st_b.body_6d),
+                               np.asarray(st_ref.body_6d), atol=1e-7)
+    np.testing.assert_allclose(float(loss), float(h[0]), rtol=1e-6)
+
+    st_ref, _, h = solver._run_phase(state, opt_state, target, w, 1,
+                                     "dct_a")
+    joints_w = jax.jit(lambda ctx, st: forward_world(
+        ctx, st, vertex_subset=solver.contact_vids)[1])(solver.ctx,
+                                                        state)
+    st_b, _, loss = solver.phase_step_body("dct_a")(joints_w, state,
+                                                    opt_state)
+    np.testing.assert_allclose(np.asarray(st_b.c_dct),
+                               np.asarray(st_ref.c_dct), atol=1e-7)
+    np.testing.assert_allclose(float(loss), float(h[0]), rtol=1e-6)

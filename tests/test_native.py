@@ -105,3 +105,134 @@ def test_native_cand_tables_coarsening():
     assert gn.h == gp.h and gn.dims == gp.dims
     np.testing.assert_array_equal(np.asarray(gn.cand_idx),
                                   np.asarray(gp.cand_idx))
+
+
+# ---- adversarial PLY inputs (VERDICT r2: the native reader parses
+# untrusted binary input; every hostile case must produce a clean
+# Python-side error or correct values — never a segfault or an
+# allocation driven by a lying header) -------------------------------------
+
+
+def _hdr(count, fmt="binary_little_endian",
+         props=("float x", "float y", "float z"), extra=""):
+    lines = ["ply", f"format {fmt} 1.0", f"element vertex {count}"]
+    lines += [f"property {p}" for p in props]
+    if extra:
+        lines.append(extra)
+    lines.append("end_header")
+    return ("\n".join(lines) + "\n").encode()
+
+
+def test_ply_truncated_binary_body(tmp_path):
+    """Header declares 100 vertices, file carries 10: clean error."""
+    p = tmp_path / "trunc.ply"
+    p.write_bytes(_hdr(100) + np.zeros((10, 3), "<f4").tobytes())
+    with pytest.raises(Exception):
+        native.read_ply_vertices(str(p))
+    if native.available():
+        assert native._load().fpv4d_ply_vertex_count(
+            str(p).encode()) == -1
+
+
+def test_ply_absurd_vertex_count(tmp_path):
+    """A lying header (1e12 vertices in a 1 kB file) must not drive a
+    multi-terabyte allocation."""
+    p = tmp_path / "liar.ply"
+    p.write_bytes(_hdr(10 ** 12) + b"\x00" * 1024)
+    with pytest.raises(Exception):
+        native.read_ply_vertices(str(p))
+    if native.available():
+        assert native._load().fpv4d_ply_vertex_count(
+            str(p).encode()) == -1
+
+
+def test_ply_negative_vertex_count(tmp_path):
+    p = tmp_path / "neg.ply"
+    p.write_bytes(_hdr(-5) + b"")
+    with pytest.raises(Exception):
+        native.read_ply_vertices(str(p))
+    if native.available():
+        assert native._load().fpv4d_ply_vertex_count(
+            str(p).encode()) == -1
+
+
+def test_ply_non_ply_garbage(tmp_path):
+    p = tmp_path / "garbage.ply"
+    p.write_bytes(b"\x89PNG\r\n\x1a\n" + bytes(range(256)) * 8)
+    with pytest.raises(Exception):
+        native.read_ply_vertices(str(p))
+    if native.available():
+        assert native._load().fpv4d_ply_vertex_count(
+            str(p).encode()) == -1
+
+
+def test_ply_overlong_header_line(tmp_path):
+    p = tmp_path / "longline.ply"
+    body = np.zeros((2, 3), "<f4").tobytes()
+    p.write_bytes(b"ply\nformat binary_little_endian 1.0\n"
+                  b"comment " + b"A" * 5000 + b"\n"
+                  b"element vertex 2\nproperty float x\n"
+                  b"property float y\nproperty float z\nend_header\n"
+                  + body)
+    # the native parser rejects the overlong line (falls back); either
+    # path must end in correct values or a clean error — never UB
+    try:
+        v = native.read_ply_vertices(str(p))
+        assert v.shape == (2, 3)
+    except Exception:
+        pass
+
+
+def test_ply_big_endian_double_records(tmp_path, cloud):
+    """binary_big_endian float64 coordinates parse correctly."""
+    p = tmp_path / "be.ply"
+    p.write_bytes(_hdr(len(cloud), fmt="binary_big_endian",
+                       props=("double x", "double y", "double z"))
+                  + cloud.astype(">f8").tobytes())
+    v = native.read_ply_vertices(str(p))
+    np.testing.assert_allclose(v, cloud, atol=1e-6)
+    if native.available():
+        lib = native._load()
+        assert lib.fpv4d_ply_vertex_count(str(p).encode()) == len(cloud)
+
+
+def test_ply_ascii_xyz_not_first_fields(tmp_path, cloud):
+    """ascii rows whose x/y/z are NOT the leading fields (normals
+    first) must be read by property ordinal, not position."""
+    p = tmp_path / "norms.ply"
+    rows = "".join(f"9 9 9 {x} {y} {z}\n" for x, y, z in cloud[:16])
+    p.write_bytes(_hdr(16, fmt="ascii",
+                       props=("float nx", "float ny", "float nz",
+                              "float x", "float y", "float z"))
+                  + rows.encode())
+    v = native.read_ply_vertices(str(p))
+    np.testing.assert_allclose(v, cloud[:16], atol=1e-5)
+
+
+def test_ply_mixed_coord_sizes_falls_back(tmp_path):
+    """x float64 but y/z float32: the native reader refuses (reading 8
+    bytes at y_off could run past the record); the Python fallback
+    parses it via numpy dtypes."""
+    p = tmp_path / "mixed.ply"
+    rec = np.zeros(4, dtype=[("x", "<f8"), ("y", "<f4"), ("z", "<f4")])
+    rec["x"] = [1, 2, 3, 4]
+    rec["y"] = [5, 6, 7, 8]
+    rec["z"] = [9, 10, 11, 12]
+    p.write_bytes(_hdr(4, props=("double x", "float y", "float z"))
+                  + rec.tobytes())
+    if native.available():
+        assert native._load().fpv4d_ply_vertex_count(
+            str(p).encode()) == -1
+    v = native.read_ply_vertices(str(p))
+    np.testing.assert_allclose(v[:, 0], [1, 2, 3, 4])
+    np.testing.assert_allclose(v[:, 2], [9, 10, 11, 12])
+
+
+def test_ply_binary_extra_trailing_data_ok(tmp_path, cloud):
+    """Trailing bytes after the vertex records (e.g. a face element)
+    must not confuse the count validation."""
+    p = tmp_path / "trail.ply"
+    p.write_bytes(_hdr(len(cloud)) + cloud.astype("<f4").tobytes()
+                  + b"\x00" * 999)
+    v = native.read_ply_vertices(str(p))
+    np.testing.assert_allclose(v, cloud, atol=1e-6)
