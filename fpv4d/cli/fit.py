@@ -23,6 +23,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vposer", default="./vposer")
     p.add_argument("--no-hands", action="store_true",
                    help="ignore hand keypoints even when present")
+    p.add_argument("--optimizer", default="adam",
+                   choices=["adam", "lbfgs"],
+                   help="per-stage optimizer: adam (default) or "
+                        "per-frame vmapped L-BFGS (the smplifyx "
+                        "family; typically needs ~1/4 the iters)")
     p.add_argument("--no-face", action="store_true",
                    help="ignore face keypoints even when present "
                         "(face fitting needs a model with landmark "
@@ -62,7 +67,8 @@ def main(argv=None) -> int:
     vp = common.load_vposer(args.vposer)
     cfg = KeypointFitConfig(focal_length=args.focal,
                             image_size=(args.width, args.height),
-                            num_iter=args.iters)
+                            num_iter=args.iters,
+                            optimizer=args.optimizer)
     params, hist = fit_keypoints(model, vp, kp, cfg,
                                  hand_left=hands.get("hand_left"),
                                  hand_right=hands.get("hand_right"),

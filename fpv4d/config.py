@@ -102,3 +102,9 @@ class KeypointFitConfig:
     weight_expr: float = 0.01
     weight_jaw: float = 0.1
     gmof_rho: float = 100.0
+    # 'adam' (vmapped staged Adam, the measured default) or 'lbfgs'
+    # (per-frame vmapped L-BFGS with zoom linesearch — the reference's
+    # smplifyx optimizer, SURVEY.md build plan; each frame carries its
+    # own curvature estimate and step size)
+    optimizer: str = "adam"
+    lbfgs_memory: int = 8

@@ -209,6 +209,12 @@ def fit_keypoints(model: SmplxModel, vposer_params: Dict[str, jnp.ndarray],
         face_kp = jnp.asarray(np.asarray(face, np.float32)[:, 17:68])
     else:
         face_kp = jnp.zeros((T, 1, 3), dtype=jnp.float32)
+    # the reprojection loss reads ONLY the 55 joints unless face
+    # landmarks are fitted (joints regress from the composed
+    # j_regressor tables, not the skinned mesh) — restrict skinning to
+    # one dummy vertex and the per-step pose-blendshape/LBS work drops
+    # by ~10^4 (the reference's smplifyx always skins the full mesh)
+    skin_subset = lmk_vids if use_face else np.zeros(1, np.int32)
 
     rest = model(betas=jnp.zeros((1, model.num_betas)),
                  global_orient=jnp.zeros((1, 3)),
@@ -232,8 +238,7 @@ def fit_keypoints(model: SmplxModel, vposer_params: Dict[str, jnp.ndarray],
         out = model(betas=v.betas, global_orient=v.global_orient,
                     body_pose=pose63, left_hand_pose=v.left_hand,
                     right_hand_pose=v.right_hand, jaw_pose=v.jaw,
-                    expression=v.expression,
-                    vertex_subset=lmk_vids if use_face else None)
+                    expression=v.expression, vertex_subset=skin_subset)
         j_cam = out["joints"] + v.camera_translation[:, None, :]
         j2d = project(jnp.take(j_cam, smplx_ids, axis=1), focal, center)
         resid_sq = jnp.sum((j2d - kp[..., :2]) ** 2, axis=-1)
@@ -291,6 +296,45 @@ def fit_keypoints(model: SmplxModel, vposer_params: Dict[str, jnp.ndarray],
                                             length=config.num_iter)
         return v, opt_state, hist
 
+    # per-frame vmapped L-BFGS (config.optimizer='lbfgs'): the
+    # reference's smplifyx stage optimizes with L-BFGS + strong-Wolfe
+    # linesearch. The frames are INDEPENDENT problems (~83 dims each),
+    # so each gets its own curvature memory and step size — a joint
+    # batched L-BFGS couples one linesearch across all frames and was
+    # measured to diverge on the body/all stages. Stage masks freeze
+    # variables INSIDE the objective (stop_gradient splice), keeping
+    # the linesearch's function values consistent with the masked
+    # gradients.
+    lbfgs = optax.lbfgs(memory_size=config.lbfgs_memory)
+
+    @jax.jit
+    def run_stage_lbfgs(model, vposer_params, kp, face_kp, v, joint_w,
+                        face_w, mask):
+        def fit_one(v_t, kp_t, fk_t):
+            def loss_fn(p):
+                p1 = jax.tree.map(lambda x: x[None], p)
+                p1 = jax.tree.map(
+                    lambda x, m: x * m
+                    + jax.lax.stop_gradient(x) * (1.0 - m), p1, mask)
+                return total_loss(model, vposer_params, kp_t[None],
+                                  fk_t[None], p1, joint_w, face_w)
+
+            vg = optax.value_and_grad_from_state(loss_fn)
+
+            def step(carry, _):
+                p, st = carry
+                value, grad = vg(p, state=st)
+                updates, st = lbfgs.update(grad, st, p, value=value,
+                                           grad=grad, value_fn=loss_fn)
+                return (optax.apply_updates(p, updates), st), value
+
+            (p, _), h = jax.lax.scan(step, (v_t, lbfgs.init(v_t)),
+                                     None, length=config.num_iter)
+            return p, h
+
+        v_out, h = jax.vmap(fit_one)(v, kp, face_kp)
+        return v_out, jnp.mean(h, axis=0)
+
     v = vars0
     opt_state = opt.init(v)
     hist = {}
@@ -302,10 +346,17 @@ def fit_keypoints(model: SmplxModel, vposer_params: Dict[str, jnp.ndarray],
                      face=use_face)),
     ][: config.stages]
     for name, joint_w, face_w, mask in schedule:
-        v, opt_state, h = run_stage(model, vposer_params, keypoints,
-                                    face_kp, v, opt_state, joint_w,
-                                    jnp.asarray(face_w, jnp.float32),
-                                    mask)
+        if config.optimizer == "lbfgs":
+            v, h = run_stage_lbfgs(model, vposer_params, keypoints,
+                                   face_kp, v, joint_w,
+                                   jnp.asarray(face_w, jnp.float32),
+                                   mask)
+        else:
+            v, opt_state, h = run_stage(model, vposer_params,
+                                        keypoints, face_kp, v,
+                                        opt_state, joint_w,
+                                        jnp.asarray(face_w, jnp.float32),
+                                        mask)
         hist[name] = np.asarray(h)
 
     out = jnp.concatenate([

@@ -28,7 +28,8 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
 def run(frames: int = 30, num_verts: int = 512, noise_px: float = 2.0,
-        body_noise: float = 0.05, iters: int = 120) -> dict:
+        body_noise: float = 0.05, iters: int = 120,
+        optimizer: str = "adam") -> dict:
     class args:
         pass
     args.frames, args.num_verts = frames, num_verts
@@ -48,7 +49,7 @@ def run(frames: int = 30, num_verts: int = 512, noise_px: float = 2.0,
     rng = np.random.RandomState(0)
     model = jsmplx.synthetic_model(num_verts=args.num_verts, seed=3)
     vp = VP.random_params(seed=3)
-    kcfg = KeypointFitConfig(num_iter=args.iters)
+    kcfg = KeypointFitConfig(num_iter=args.iters, optimizer=optimizer)
 
     # ---- ground-truth motion: slow and smooth, so it satisfies the
     # temporal priors the clip solve applies (a truth that violates
@@ -173,6 +174,7 @@ def run(frames: int = 30, num_verts: int = 512, noise_px: float = 2.0,
 
     return {
         "frames": T,
+        "keypoint_optimizer": optimizer,
         "keypoint_fit_mpjpe_mm": round(mpjpe_3d * 1000, 2),
         "keypoint_fit_reproj_px": round(reproj_px, 3),
         "obs_noise_px": args.noise_px,
@@ -193,9 +195,11 @@ def main():
     ap.add_argument("--body-noise", type=float, default=0.05,
                     help="parameter noise for the clip-solve init")
     ap.add_argument("--iters", type=int, default=120)
+    ap.add_argument("--optimizer", default="adam",
+                    choices=["adam", "lbfgs"])
     a = ap.parse_args()
     print(json.dumps(run(a.frames, a.num_verts, a.noise_px,
-                         a.body_noise, a.iters)))
+                         a.body_noise, a.iters, a.optimizer)))
 
 
 if __name__ == "__main__":
