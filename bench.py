@@ -105,6 +105,12 @@ def _phase_stats(solver, state, opt_state, target, weights, steps,
         flops, nbytes = _cost(body_fn, solver.ctx, state, opt_state,
                               target, weights)
     dt_step = dt / steps
+    # NOTE on the bytes columns: "logical" bytes come from HLO cost
+    # analysis, which counts every fusion's operands/outputs — a
+    # buffer feeding several fusions is counted once per consumer, so
+    # the number is an UPPER BOUND on physical HBM traffic and
+    # logical_bytes_frac can exceed 1.0 for well-fused programs. The
+    # FLOPs columns (and mfu) are exact.
     stats = {
         "steps": steps,
         "final_loss": float(out[2][-1]),
@@ -113,9 +119,9 @@ def _phase_stats(solver, state, opt_state, target, weights, steps,
         "tflops_achieved": round(flops / dt_step / 1e12, 3),
         "mfu": round(flops / dt_step / PEAK_FLOPS.get(backend, 1e18),
                      4),
-        "gbps_achieved": round(nbytes / dt_step / 1e9, 1),
-        "hbm_frac": round(nbytes / dt_step
-                          / PEAK_BYTES.get(backend, 1e18), 4),
+        "logical_gbps": round(nbytes / dt_step / 1e9, 1),
+        "logical_bytes_frac": round(nbytes / dt_step
+                                    / PEAK_BYTES.get(backend, 1e18), 4),
     }
     # the production path for contact phases is the lazy-refresh
     # candidate-table variant (_run_phase_auto); the exact-grid
@@ -142,9 +148,9 @@ def _phase_stats(solver, state, opt_state, target, weights, steps,
             "tflops_achieved": round(flops_l / dt_lazy / 1e12, 3),
             "mfu": round(flops_l / dt_lazy
                          / PEAK_FLOPS.get(backend, 1e18), 4),
-            "gbps_achieved": round(nbytes_l / dt_lazy / 1e9, 1),
-            "hbm_frac": round(nbytes_l / dt_lazy
-                              / PEAK_BYTES.get(backend, 1e18), 4),
+            "logical_gbps": round(nbytes_l / dt_lazy / 1e9, 1),
+            "logical_bytes_frac": round(
+                nbytes_l / dt_lazy / PEAK_BYTES.get(backend, 1e18), 4),
         }
     return out[0], out[1], dt, stats
 
@@ -321,8 +327,8 @@ def main():
     for k, v in extras["phases"].items():
         print(f"[bench]   {k}: {v['ms_per_step']}ms/step "
               f"{v['gflops_per_step']}GF {v['tflops_achieved']}TF/s "
-              f"mfu={v['mfu']} {v['gbps_achieved']}GB/s "
-              f"hbm={v['hbm_frac']}", file=sys.stderr)
+              f"mfu={v['mfu']} {v['logical_gbps']}GB/s(logical) "
+              f"frac={v['logical_bytes_frac']}", file=sys.stderr)
 
     if "dct" in modes:
         try:

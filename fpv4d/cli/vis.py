@@ -35,6 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
     world.add_argument("--out", default="render0")
     world.add_argument("--follow", action="store_true",
                        help="camera-following viewpoint")
+    world.add_argument("--orbit", action="store_true",
+                       help="turntable sweep around the scene (the "
+                            "windowed viewer's orbit mode, offline)")
+    world.add_argument("--orbit-turns", type=float, default=1.0,
+                       help="revolutions over the clip with --orbit")
     world.add_argument("--model", default="./models")
     world.add_argument("--vposer", default="./vposer")
     world.add_argument("--limit", type=int, default=None)
@@ -73,7 +78,8 @@ def main(argv=None) -> int:
         from fpv4d.vis.world_view import render_dir
         scene = common.load_scene(args.scene)
         n = render_dir(args.fitting_dir, model, vp, scene, args.out,
-                       follow=args.follow, limit=args.limit)
+                       follow=args.follow, orbit=args.orbit,
+                       orbit_turns=args.orbit_turns, limit=args.limit)
         print(f"[fpv4d.vis] rendered {n} world frames to {args.out}",
               file=sys.stderr)
         return 0

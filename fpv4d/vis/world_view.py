@@ -92,21 +92,59 @@ def render_frame(model: SmplxModel, vposer_params, param: Dict,
     return raster.composite(rgb, mask, img)
 
 
+def orbit_view(center: np.ndarray, radius: float, azimuth: float,
+               elevation: float = 0.35) -> np.ndarray:
+    """World-from-camera matrix (COLMAP convention, +Z forward) of a
+    turntable camera at `azimuth` radians around `center`, looking at
+    it — the offline equivalent of the windowed viewer's rotating
+    orbit (interactive_vis.py:123-143, the one capability fixed/follow
+    viewpoints don't cover)."""
+    eye = center + radius * np.array(
+        [np.cos(azimuth) * np.cos(elevation), -np.sin(elevation),
+         np.sin(azimuth) * np.cos(elevation)], dtype=np.float32)
+    fwd = center - eye
+    fwd = fwd / (np.linalg.norm(fwd) + 1e-9)           # +Z forward
+    up = np.array([0.0, -1.0, 0.0], dtype=np.float32)  # COLMAP y down
+    right = np.cross(up, fwd)
+    right /= (np.linalg.norm(right) + 1e-9)
+    down = np.cross(fwd, right)
+    view = np.eye(4, dtype=np.float32)
+    view[:3, 0], view[:3, 1], view[:3, 2] = right, down, fwd
+    view[:3, 3] = eye
+    return view
+
+
 def render_dir(fitting_dir: str, model: SmplxModel, vposer_params,
                scene_pts: np.ndarray, out_dir: str,
-               follow: bool = False,
+               follow: bool = False, orbit: bool = False,
+               orbit_turns: float = 1.0,
                limit: Optional[int] = None) -> int:
     """Render all frames of a smoothed_body directory.
 
     follow=False: fixed viewpoint at the first frame's camera pose
     (global_vis.py); follow=True: viewpoint tracks each frame's camera
-    (interactive_vis.py's camera-following mode). Writes
+    (interactive_vis.py's camera-following mode); orbit=True: a
+    turntable sweep of `orbit_turns` revolutions around the scene over
+    the clip (the windowed viewer's orbiting mode, offline). Writes
     <out_dir>/img_%03d.png. Returns frame count."""
     pkls = sorted(glob.glob(os.path.join(fitting_dir, "*.pkl")))[:limit]
     os.makedirs(out_dir, exist_ok=True)
+    center = radius = None
+    if orbit and pkls:
+        # orbit around the body trajectory's centroid, at a radius
+        # covering the trajectory extent (plus margin for the body)
+        centers = []
+        for path in pkls:
+            p = body_pkl.load_frame(path)
+            centers.append(body_to_world(p)[:3, 3])
+        centers = np.asarray(centers, dtype=np.float32)
+        center = centers.mean(0)
+        radius = float(max(2.5, 1.8 * np.linalg.norm(
+            centers - center, axis=1).max()))
     trajectory: List[np.ndarray] = []
     view0 = None
     count = 0
+    n = max(len(pkls), 1)
     for i, path in enumerate(pkls):
         param = body_pkl.load_frame(path)
         cam_ext = np.asarray(param.get("camera_ext", np.eye(4)),
@@ -114,7 +152,11 @@ def render_dir(fitting_dir: str, model: SmplxModel, vposer_params,
         trajectory.append(camera_center(cam_ext))
         if view0 is None:
             view0 = cam_ext
-        view = cam_ext if follow else view0
+        if orbit:
+            view = orbit_view(center, radius,
+                              2.0 * np.pi * orbit_turns * i / n)
+        else:
+            view = cam_ext if follow else view0
         img = render_frame(model, vposer_params, param, scene_pts, view,
                            np.asarray(trajectory))
         from PIL import Image

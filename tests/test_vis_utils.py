@@ -196,3 +196,19 @@ def test_checked_catches_oob_and_nan():
         checked(nan_fn, jnp.asarray(-1.0))
     # clean functions pass through
     assert float(checked(lambda x: x * 2, jnp.asarray(3.0))) == 6.0
+
+
+def test_orbit_view_looks_at_center():
+    """orbit_view: the camera sits on the requested ring, +Z (COLMAP
+    forward) points at the center, and the matrix is rigid."""
+    import numpy as np
+    from fpv4d.vis.world_view import orbit_view
+    center = np.array([1.0, -0.5, 2.0], np.float32)
+    for az in (0.0, 1.1, 3.9):
+        v = orbit_view(center, radius=3.0, azimuth=az)
+        R, eye = v[:3, :3], v[:3, 3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+        assert abs(np.linalg.norm(eye - center) - 3.0) < 1e-4
+        fwd = R[:, 2]
+        to_c = (center - eye) / np.linalg.norm(center - eye)
+        np.testing.assert_allclose(fwd, to_c, atol=1e-5)
