@@ -20,8 +20,9 @@ Env knobs:
   FPV4D_BENCH_FRAMES   clip length (default 900)
   FPV4D_BENCH_SMALL=1  CPU-friendly smoke run
   FPV4D_BENCH_MODES    comma list, default "local,global,dct"
-  FPV4D_BENCH_MULTI=1  also bench MultiClipSolver (2 clips, 1-device
-                       mesh) and report per-clip throughput vs single
+  FPV4D_BENCH_MULTI=N  bench MultiClipSolver with N batched clips
+                       (the per-chip fleet workload; default 8 on
+                       full TPU runs, 0 disables, 1 = legacy 2-clip)
   FPV4D_BENCH_SKATE_SUBSET  stratified-vertex count for the anti-skate
                        phase (default 2048; 0 = exact full mesh)
 """

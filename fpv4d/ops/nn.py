@@ -378,26 +378,81 @@ def _cand_forward_bf16(q, cands):
     wins can drift (between near-ties within bf16's ~0.4% relative
     error); the reported distance is recomputed exactly in f32 at the
     winner by the caller (same contract as nn_brute's exact
-    re-evaluation)."""
+    re-evaluation).
+
+    The winner index rides in the 16 zero low-mantissa bits of the
+    bf16-as-f32 distance (bf16 keeps 7 of f32's 23 mantissa bits), so
+    ONE uint-min reduce replaces the (min, argmin) pair — the [T,N,P]
+    distance tensor then lives entirely inside a single reduce fusion
+    instead of being materialized for two reductions (r3 ablation:
+    the NN block was 7.1 of local_a's 9.7 ms/step). Distances are
+    >= 0, so uint ordering == float ordering, and ties break to the
+    smallest index exactly like argmin."""
+    P = cands.cand.shape[1]
+    if P > 65536:  # index no longer fits the zero mantissa bits
+        qb = q.astype(jnp.bfloat16)
+        cb = cands.cand.astype(jnp.bfloat16)
+        d = jnp.sum((qb[:, :, None, :] - cb[:, None, :, :]) ** 2,
+                    axis=-1)
+        d = jnp.where(cands.valid[:, None, :], d,
+                      jnp.asarray(BIG, jnp.bfloat16))
+        slot = jnp.argmin(d, axis=-1)
+        dmin = jnp.min(d, axis=-1).astype(jnp.float32)
+        return jnp.minimum(dmin, BIG), slot
     qb = q.astype(jnp.bfloat16)
     cb = cands.cand.astype(jnp.bfloat16)
     d = jnp.sum((qb[:, :, None, :] - cb[:, None, :, :]) ** 2,
                 axis=-1)                                   # bf16
     d = jnp.where(cands.valid[:, None, :], d,
                   jnp.asarray(BIG, jnp.bfloat16))
-    slot = jnp.argmin(d, axis=-1)                          # [T, N]
-    dmin = jnp.min(d, axis=-1).astype(jnp.float32)
+    bits = jax.lax.bitcast_convert_type(d.astype(jnp.float32),
+                                        jnp.uint32)
+    packed = bits | jnp.arange(P, dtype=jnp.uint32)
+    m = jnp.min(packed, axis=-1)                           # [T, N]
+    slot = (m & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    dmin = jax.lax.bitcast_convert_type(
+        m & ~jnp.uint32(0xFFFF), jnp.float32)
     return jnp.minimum(dmin, BIG), slot
+
+
+def _select_nearest(slot: jnp.ndarray, cand: jnp.ndarray
+                    ) -> jnp.ndarray:
+    """Winner coordinates cand[t, slot[t, n]] -> [T, N, 3] WITHOUT a
+    gather (TPU gathers cost ~20 ns/row — 783k rows would be ~15 ms)
+    and without the full [T, N, P] one-hot (whose materialization +
+    matmul read was measured at ~4 ms/step of HBM traffic at bench
+    shapes, r3 ablation).
+
+    Factored two-level one-hot: slot = g*R + r, so
+      nearest[t,n,:] = sum_{g,r} og[t,n,g] or[t,n,r] cand[t,g*R+r,:]
+    contracts an [T,N,R] and an [T,N,G] one-hot against the reshaped
+    [T,G,R,3] table — ~20x less traffic than the flat one-hot.
+    Selection through HIGHEST-precision matmuls with exact 0/1
+    multipliers is exact (bf16x6 reconstructs f32)."""
+    T_, P = cand.shape[0], cand.shape[1]
+    R = 32
+    if P % R or P <= R:
+        onehot = (slot[..., None]
+                  == jnp.arange(P, dtype=slot.dtype)).astype(cand.dtype)
+        return jnp.einsum("tnp,tpc->tnc", onehot, cand,
+                          precision=jax.lax.Precision.HIGHEST)
+    G = P // R
+    og = (slot[..., None] // R
+          == jnp.arange(G, dtype=slot.dtype)).astype(cand.dtype)
+    orr = (slot[..., None] % R
+           == jnp.arange(R, dtype=slot.dtype)).astype(cand.dtype)
+    candg = cand.reshape(T_, G, R, 3)
+    # [T, N, R] x [T, G, R, 3] -> [T, N, G, 3] batched matmul
+    tmp = jnp.einsum("tnr,tgrc->tngc", orr, candg,
+                     precision=jax.lax.Precision.HIGHEST)
+    # mult-reduce over the group axis (VPU fusion, no matmul)
+    return jnp.einsum("tng,tngc->tnc", og, tmp,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _cand_fwd(q, cands):
     d, slot = _cand_forward(q, cands)
-    P = cands.cand.shape[1]
-    onehot = (slot[..., None]
-              == jnp.arange(P, dtype=slot.dtype)).astype(q.dtype)
-    # winner coordinates via batched matmul: [T,N,P] @ [T,P,3]
-    nearest = jnp.einsum("tnp,tpc->tnc", onehot, cands.cand,
-                         precision=jax.lax.Precision.HIGHEST)
+    nearest = _select_nearest(slot, cands.cand)
     return d, (q, nearest, d < BIG)
 
 
@@ -423,11 +478,7 @@ def nn_to_candidates_bf16(q: jnp.ndarray, cands: FrameCands
 
 def _cand16_full(q, cands):
     dmin_bf, slot = _cand_forward_bf16(q, cands)
-    P = cands.cand.shape[1]
-    onehot = (slot[..., None]
-              == jnp.arange(P, dtype=slot.dtype)).astype(q.dtype)
-    nearest = jnp.einsum("tnp,tpc->tnc", onehot, cands.cand,
-                         precision=jax.lax.Precision.HIGHEST)
+    nearest = _select_nearest(slot, cands.cand)
     # invalid slots carry bf16(BIG) = 9984 (not BIG itself), so the
     # hit test must use that value: valid candidates with d^2 in
     # [9984, BIG) saturate to BIG — already deep in the robust loss's

@@ -237,3 +237,16 @@ def test_candidate_saturated_distance_zero_gradient():
     assert d[0, 0] == CP.BIG_SAT and d[0, 1] < CP.BIG_SAT
     g = np.asarray(jax.grad(fn)(q))
     assert np.all(g[0, 0] == 0.0) and np.any(g[0, 1] != 0.0)
+
+
+def test_select_nearest_exact():
+    """The factored two-level one-hot (r3: kills ~4 ms/step of HBM
+    traffic) must extract cand[t, slot] EXACTLY, in both the factored
+    (P % 32 == 0) and flat-fallback shapes."""
+    rng = np.random.RandomState(11)
+    for T, N, P in ((3, 17, 64), (2, 5, 24), (1, 7, 512)):
+        cand = jnp.asarray(rng.randn(T, P, 3).astype(np.float32) * 7)
+        slot = jnp.asarray(rng.randint(0, P, size=(T, N)))
+        got = np.asarray(NN._select_nearest(slot, cand))
+        want = np.asarray(cand)[np.arange(T)[:, None], np.asarray(slot)]
+        np.testing.assert_array_equal(got, want)

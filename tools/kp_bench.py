@@ -1,0 +1,72 @@
+"""Keypoint-fit throughput on the current backend: Adam vs per-frame
+L-BFGS at production shapes (T=900, synthetic SMPL-X-sized model),
+plus the joints-only forward effect. Prints one JSON line."""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def main():
+    small = os.environ.get("FPV4D_BENCH_SMALL") == "1"
+    T = 60 if small else 900
+
+    import jax
+    import jax.numpy as jnp
+    from fpv4d.utils import bench_problem as BP
+    from fpv4d.config import KeypointFitConfig
+    from fpv4d.solve.keypoint_fit import (fit_keypoints, project,
+                                          BODY25_FROM_SMPLX)
+    from fpv4d.models import vposer as VPm
+
+    BP.enable_persistent_cache()
+    prob = BP.standard_problem(
+        T=T, num_verts=512 if small else 10475,
+        scene_pts=64, num_iter=10)
+    model, vp = prob.model, prob.vp
+    rng = np.random.RandomState(1)
+
+    kcfg = KeypointFitConfig(num_iter=10 if small else 120)
+    valid = BODY25_FROM_SMPLX >= 0
+    ids = np.where(valid, BODY25_FROM_SMPLX, 0)
+    lat = jnp.asarray(rng.randn(T, 32).astype(np.float32) * 0.3)
+    out_gt = model(betas=jnp.zeros((T, 10)),
+                   global_orient=jnp.zeros((T, 3)),
+                   body_pose=VPm.decode(vp, lat))
+    j_cam = np.asarray(out_gt["joints"])[:, ids] + np.array(
+        [0.0, 0.0, 3.0], np.float32)
+    center = jnp.asarray([kcfg.image_size[0] / 2,
+                          kcfg.image_size[1] / 2])
+    j2d = np.asarray(project(jnp.asarray(j_cam), kcfg.focal_length,
+                             center))
+    kp = np.concatenate(
+        [j2d + rng.randn(*j2d.shape).astype(np.float32) * 2.0,
+         np.tile(valid.astype(np.float32)[None, :, None], (T, 1, 1))],
+        -1).astype(np.float32)
+    kp = jnp.asarray(kp)
+
+    res = {"frames": T, "backend": jax.default_backend()}
+    for name, iters in (("adam", kcfg.num_iter),
+                        ("lbfgs", 10 if small else 40)):
+        cfg = KeypointFitConfig(num_iter=iters, optimizer=name)
+        fit_keypoints(model, vp, kp, cfg)         # compile
+        t0 = time.perf_counter()
+        _, hist = fit_keypoints(model, vp, kp, cfg)
+        dt = time.perf_counter() - t0
+        res[name] = {"iters_per_stage": iters,
+                     "steady_s": round(dt, 3),
+                     "frames_per_s": round(T / dt, 1),
+                     "final_all_loss": round(float(hist["all"][-1]), 4)}
+        print(f"[kp_bench] {name}: {dt:.2f}s ({T / dt:.0f} frames/s, "
+              f"final {hist['all'][-1]:.4f})", file=sys.stderr)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
