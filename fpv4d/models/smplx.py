@@ -276,6 +276,12 @@ class SmplxModel:
         dirs2d = dirs_sub.reshape(Vs * 3, -1).T       # [S, Vs*3]
         v_shaped = template + jnp.matmul(shape_feat, dirs2d).reshape(
             -1, Vs, 3)
+        # v_shaped above feeds only the RETURN dict — the skinning
+        # path below applies shape and pose blendshapes in ONE merged
+        # [B, S+486] matmul (halves the blendshape matmul count
+        # fwd+bwd; the subset-LBS chain is op-count-bound, r3
+        # ablation). XLA dead-code-eliminates the v_shaped matmul
+        # whenever the caller doesn't read it (every hot path).
 
         # 3. per-joint rotation matrices + pose blendshapes
         if body_pose_matrot is None and global_orient_matrot is None:
@@ -306,8 +312,12 @@ class SmplxModel:
                                        axis=1)
         eye = jnp.eye(3, dtype=dtype)
         pose_feat = (rot_mats[:, 1:] - eye).reshape(B, -1)  # [B,(J-1)*9]
-        v_posed = v_shaped + jnp.matmul(
-            pose_feat, posedirs).reshape(B, -1, 3)
+        # one [B, S+(J-1)*9] @ [S+(J-1)*9, Vs*3] matmul applies shape
+        # AND pose blendshapes (the concatenated table is
+        # loop-invariant — XLA hoists it out of solver scans)
+        feat = jnp.concatenate([shape_feat, pose_feat], axis=-1)
+        table = jnp.concatenate([dirs2d, posedirs], axis=0)
+        v_posed = template + jnp.matmul(feat, table).reshape(B, -1, 3)
 
         # 4. forward kinematics along the (static) parent chain
         joints_world, rel_transforms = batch_rigid_transform(

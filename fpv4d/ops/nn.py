@@ -363,9 +363,24 @@ def nn_to_candidates(q: jnp.ndarray, cands: FrameCands) -> jnp.ndarray:
     return d
 
 
+def _dist_sq_tnp(q, cand):
+    """Squared distances [T, N, P] with the xyz axis UNROLLED into
+    three elementwise [T, N, P] terms. The naive
+    sum((q[:,:,None,:] - c[:,None,:,:])**2, -1) makes XLA materialize
+    the [T, N, P, 3] subtract intermediate (~2.4 GB at bench shapes)
+    because the length-3 reduce breaks the fusion into the min that
+    follows; unrolled, the whole distance+min pass is ONE fusion
+    reading only q and c (measured: the bf16 pass dropped 6.9 ->
+    compute-bound, r3 micro-split). Same left-to-right summation
+    order, so results are bit-identical."""
+    dx = q[:, :, None, 0] - cand[:, None, :, 0]
+    dy = q[:, :, None, 1] - cand[:, None, :, 1]
+    dz = q[:, :, None, 2] - cand[:, None, :, 2]
+    return (dx * dx + dy * dy) + dz * dz
+
+
 def _cand_forward(q, cands):
-    d = jnp.sum((q[:, :, None, :] - cands.cand[:, None, :, :]) ** 2,
-                axis=-1)                                   # [T, N, P]
+    d = _dist_sq_tnp(q, cands.cand)                        # [T, N, P]
     d = jnp.where(cands.valid[:, None, :], d, BIG)
     slot = jnp.argmin(d, axis=-1)                          # [T, N]
     dmin = jnp.min(d, axis=-1)
@@ -392,8 +407,7 @@ def _cand_forward_bf16(q, cands):
     if P > 65536:  # index no longer fits the zero mantissa bits
         qb = q.astype(jnp.bfloat16)
         cb = cands.cand.astype(jnp.bfloat16)
-        d = jnp.sum((qb[:, :, None, :] - cb[:, None, :, :]) ** 2,
-                    axis=-1)
+        d = _dist_sq_tnp(qb, cb)
         d = jnp.where(cands.valid[:, None, :], d,
                       jnp.asarray(BIG, jnp.bfloat16))
         slot = jnp.argmin(d, axis=-1)
@@ -401,8 +415,7 @@ def _cand_forward_bf16(q, cands):
         return jnp.minimum(dmin, BIG), slot
     qb = q.astype(jnp.bfloat16)
     cb = cands.cand.astype(jnp.bfloat16)
-    d = jnp.sum((qb[:, :, None, :] - cb[:, None, :, :]) ** 2,
-                axis=-1)                                   # bf16
+    d = _dist_sq_tnp(qb, cb)                               # bf16
     d = jnp.where(cands.valid[:, None, :], d,
                   jnp.asarray(BIG, jnp.bfloat16))
     bits = jax.lax.bitcast_convert_type(d.astype(jnp.float32),

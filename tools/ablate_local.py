@@ -167,6 +167,31 @@ def main():
         "params_only", params_loss,
         (state, optax.adam(1e-3).init(state)), (target, weights))
 
+    # 7. skate-phase split: full terms2 body vs subset-LBS model only
+    from fpv4d.solve.clip_solve import _grad_mask
+    skate_mask = _grad_mask(body=True)
+    wr = solver.detect_contact(state)
+
+    def skate_loss(st_, ctx_, tgt, wts, wr_):
+        rec, local_s, vert_s, skate = solver.terms2(
+            mask_stop_gradient(st_, skate_mask), tgt, wts, wr_, ctx_)
+        return vert_s + local_s + rec + skate
+
+    results["skate_full"] = timed_scan(
+        "skate_full", skate_loss,
+        (state, optax.adam(1e-3).init(state)),
+        (solver.ctx, target, weights, wr))
+
+    def skate_model_loss(st_, ctx_):
+        verts_w, _, _ = forward_world(
+            ctx_, mask_stop_gradient(st_, skate_mask),
+            vertex_subset=solver._skate_vids)
+        return jnp.sum(verts_w * 1e-6)
+
+    results["skate_model"] = timed_scan(
+        "skate_model", skate_model_loss,
+        (state, optax.adam(1e-3).init(state)), (solver.ctx,))
+
     import json
     print(json.dumps({k: round(v, 3) for k, v in results.items()}))
 
