@@ -24,10 +24,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-hands", action="store_true",
                    help="ignore hand keypoints even when present")
     p.add_argument("--optimizer", default="adam",
-                   choices=["adam", "lbfgs"],
-                   help="per-stage optimizer: adam (default) or "
-                        "per-frame vmapped L-BFGS (the smplifyx "
-                        "family; typically needs ~1/4 the iters)")
+                   choices=["adam", "lbfgs", "lbfgs_perframe"],
+                   help="per-stage optimizer: adam (default), "
+                        "joint-batch L-BFGS (the smplifyx family; "
+                        "typically needs ~1/4 the iters), or "
+                        "per-frame vmapped L-BFGS (slow on TPU)")
     p.add_argument("--no-face", action="store_true",
                    help="ignore face keypoints even when present "
                         "(face fitting needs a model with landmark "

@@ -102,9 +102,11 @@ class KeypointFitConfig:
     weight_expr: float = 0.01
     weight_jaw: float = 0.1
     gmof_rho: float = 100.0
-    # 'adam' (vmapped staged Adam, the measured default) or 'lbfgs'
-    # (per-frame vmapped L-BFGS with zoom linesearch — the reference's
-    # smplifyx optimizer, SURVEY.md build plan; each frame carries its
-    # own curvature estimate and step size)
+    # 'adam' (vmapped staged Adam, the measured default), 'lbfgs'
+    # (joint-batch L-BFGS with zoom linesearch, like smplifyx's torch
+    # LBFGS — scan-speed on TPU), or 'lbfgs_perframe' (vmapped
+    # per-frame L-BFGS: per-frame curvature/step, best recovery per
+    # iteration, but the vmapped linesearch is ~58x slower than Adam
+    # on TPU — CPU-sized problems only)
     optimizer: str = "adam"
     lbfgs_memory: int = 8

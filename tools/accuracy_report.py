@@ -196,7 +196,7 @@ def main():
                     help="parameter noise for the clip-solve init")
     ap.add_argument("--iters", type=int, default=120)
     ap.add_argument("--optimizer", default="adam",
-                    choices=["adam", "lbfgs"])
+                    choices=["adam", "lbfgs", "lbfgs_perframe"])
     a = ap.parse_args()
     print(json.dumps(run(a.frames, a.num_verts, a.noise_px,
                          a.body_noise, a.iters, a.optimizer)))

@@ -51,9 +51,13 @@ def main():
         -1).astype(np.float32)
     kp = jnp.asarray(kp)
 
+    # lbfgs here is the joint-batch variant (scan-speed); the
+    # per-frame vmapped variant measured 5.2 frames/s at T=900 on TPU
+    # (vmapped zoom-linesearch while_loops) and is excluded from the
+    # default sweep.
     res = {"frames": T, "backend": jax.default_backend()}
     for name, iters in (("adam", kcfg.num_iter),
-                        ("lbfgs", 10 if small else 40)):
+                        ("lbfgs", 15 if small else 60)):
         cfg = KeypointFitConfig(num_iter=iters, optimizer=name)
         fit_keypoints(model, vp, kp, cfg)         # compile
         t0 = time.perf_counter()
