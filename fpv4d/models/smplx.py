@@ -383,18 +383,31 @@ def batch_rigid_transform(rot_mats: jnp.ndarray,
 
     levels = (_LEVELS if tuple(parents) == PARENTS
               else _tree_levels(parents))
-    world = jnp.zeros((B, J, 4, 4), dtype=dtype)
-    world = world.at[:, levels[0]].set(local[:, levels[0]])
-    for idx in levels[1:]:
+    # A joint's parent sits EXACTLY one level up (depth[j] =
+    # depth[parent]+1 by construction), so the sweep works on small
+    # per-level arrays: each level selects its parents out of the
+    # previous level's [B, n_prev, 4, 4] block (static indices) and
+    # one static permutation assembles joint order at the end —
+    # replacing 11 .at[].set full-buffer scatters (and their
+    # scatter-add VJPs) with per-level concats. Measured
+    # cost-NEUTRAL on hardware (the joints-chain backward is ~100
+    # small latency-bound ops with no single hotspot — r3 model
+    # split), but avoids the [B, J, 4, 4] copy-per-level working set.
+    # Values are bit-identical: same matmuls in the same order.
+    outs = [local[:, levels[0]]]
+    for k, idx in enumerate(levels[1:]):
         par = parents_arr[idx]
+        pos = np.searchsorted(levels[k], par)   # static: parent slots
+        n = len(idx)
         # flatten (batch, level) before the matmul: multi-batch-dim
         # dots from gathered operands trip an XLA algebraic-simplifier
         # RET_CHECK under vmap (transpose/dot layout mismatch)
-        n = len(idx)
-        wp = world[:, par].reshape(B * n, 4, 4)
+        wp = outs[-1][:, pos].reshape(B * n, 4, 4)
         lc = local[:, idx].reshape(B * n, 4, 4)
-        w = jnp.matmul(wp, lc).reshape(B, n, 4, 4)
-        world = world.at[:, idx].set(w)
+        outs.append(jnp.matmul(wp, lc).reshape(B, n, 4, 4))
+    order = np.concatenate([np.asarray(l) for l in levels])
+    inv = np.argsort(order)
+    world = jnp.concatenate(outs, axis=1)[:, inv]
 
     posed_joints = world[..., :3, 3]
 
