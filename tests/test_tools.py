@@ -1,0 +1,53 @@
+"""Smoke tests of the tools/ entry points that guard production
+workflows (prewarm's cache-stats contract; the ablation harness's
+variant set) — CPU-small, subprocess-driven like a user would run
+them."""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, env_extra, timeout=420):
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu",
+               **env_extra)
+    env.pop("XLA_FLAGS", None)
+    return subprocess.run([sys.executable] + args, cwd=_REPO, env=env,
+                          capture_output=True, text=True,
+                          timeout=timeout)
+
+
+@pytest.mark.slow
+def test_prewarm_small_writes_stats(tmp_path):
+    """prewarm --small runs the local schedule end-to-end and stamps
+    prewarm_stats.json with the cold/warm record bench.py folds into
+    its extras."""
+    cache = str(tmp_path / "cache")
+    r = _run(["tools/prewarm.py", "--small", "--modes", "local",
+              "--no-keypoint", "--cache-dir", cache], {})
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert {"cold", "total_s", "per_entry_s",
+            "cache_entries_after"} <= set(stats)
+    assert stats["cold"] is True          # fresh cache dir
+    assert "local" in stats["per_entry_s"]
+    path = os.path.join(cache, "prewarm_stats.json")
+    assert os.path.exists(path)
+    assert json.load(open(path))["frames"] == stats["frames"]
+
+
+@pytest.mark.slow
+def test_ablate_local_small_reports_all_variants():
+    r = _run(["tools/ablate_local.py"],
+             {"FPV4D_BENCH_SMALL": "1", "FPV4D_ABL_STEPS": "2"},
+             timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert {"full", "contact_only", "model_only", "model_fwd",
+            "nn_only", "params_only", "skate_full",
+            "skate_model"} == set(res)
+    assert all(v > 0 for v in res.values())

@@ -35,10 +35,11 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
 def prewarm(T: int, small: bool, modes: list[str],
-            keypoint: bool = True) -> dict:
+            keypoint: bool = True,
+            cache_dir: str | None = None) -> dict:
     from fpv4d.utils import bench_problem as BP
 
-    cache_dir = BP.enable_persistent_cache()
+    cache_dir = BP.enable_persistent_cache(cache_dir)
     n_before = len(glob.glob(os.path.join(cache_dir, "jit_*")))
     cold = n_before == 0
 
@@ -120,11 +121,15 @@ def main():
                     help="tiny shapes (CPU smoke test)")
     ap.add_argument("--modes", default="local,global,dct")
     ap.add_argument("--no-keypoint", action="store_true")
+    ap.add_argument("--cache-dir", default=None,
+                    help="compilation-cache directory (default: the "
+                         "repo-local .jax_cache)")
     a = ap.parse_args()
     if a.small:
         a.frames = min(a.frames, 12)
     print(json.dumps(prewarm(a.frames, a.small, a.modes.split(","),
-                             keypoint=not a.no_keypoint)))
+                             keypoint=not a.no_keypoint,
+                             cache_dir=a.cache_dir)))
 
 
 if __name__ == "__main__":
