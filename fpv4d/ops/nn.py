@@ -418,8 +418,12 @@ def _cand_forward_bf16(q, cands):
     d = _dist_sq_tnp(qb, cb)                               # bf16
     d = jnp.where(cands.valid[:, None, :], d,
                   jnp.asarray(BIG, jnp.bfloat16))
-    bits = jax.lax.bitcast_convert_type(d.astype(jnp.float32),
-                                        jnp.uint32)
+    # the explicit &~0xFFFF guards the index field even if XLA's
+    # allow-excess-precision mode ever keeps this chain in f32 (the
+    # low mantissa bits would then be nonzero); for genuinely
+    # bf16-rounded values it is a no-op, so results are unchanged
+    bits = jax.lax.bitcast_convert_type(
+        d.astype(jnp.float32), jnp.uint32) & ~jnp.uint32(0xFFFF)
     packed = bits | jnp.arange(P, dtype=jnp.uint32)
     m = jnp.min(packed, axis=-1)                           # [T, N]
     slot = (m & jnp.uint32(0xFFFF)).astype(jnp.int32)
