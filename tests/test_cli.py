@@ -94,6 +94,20 @@ def test_cli_vis_world(clip_dir, tmp_path):
                 "--model", "NONE", "--vposer", "NONE", "--limit", "2"])
     assert rc == 0
     assert len(os.listdir(tmp_path / "render0")) == 2
+    # orbit/turntable sweep (the windowed viewer's rotating mode,
+    # offline): frames render and are not black
+    rc = vmain(["world", str(fit), "--scene",
+                str(clip_dir / "scene.ply"),
+                "--out", str(tmp_path / "render_orbit"), "--orbit",
+                "--model", "NONE", "--vposer", "NONE", "--limit", "2"])
+    assert rc == 0
+    from PIL import Image
+    import numpy as np
+    imgs = sorted((tmp_path / "render_orbit").glob("*.png"))
+    assert len(imgs) == 2
+    for p in imgs:
+        arr = np.asarray(Image.open(p)).astype(float)
+        assert (arr.sum(-1) > 0).mean() > 0.005, p
 
 
 def test_cli_prep_pairs_campose_cloud(clip_dir, tmp_path):
