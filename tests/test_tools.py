@@ -51,3 +51,25 @@ def test_ablate_local_small_reports_all_variants():
             "nn_only", "params_only", "skate_full",
             "skate_model"} == set(res)
     assert all(v > 0 for v in res.values())
+
+
+def test_standard_problem_workload_pinned(tmp_path):
+    """The benchmark's synthetic workload is part of the round-over-
+    round record: pin its content so a refactor of
+    fpv4d.utils.bench_problem can't silently change what bench.py
+    measures (hashes recorded r3 — regenerate them ONLY with an
+    explicit decision to re-baseline)."""
+    import hashlib
+    import numpy as np
+    from fpv4d.utils import bench_problem as BP
+    p = BP.standard_problem(T=24, num_verts=256, scene_pts=256,
+                            num_iter=10, num_iter_dct=10,
+                            cache_dir=str(tmp_path))
+
+    def h(a):
+        return hashlib.sha1(
+            np.ascontiguousarray(a).tobytes()).hexdigest()[:16]
+
+    assert h(p.body) == "3ca019024c851030"
+    assert h(p.cam) == "cd76c4d9cea0a67c"
+    assert h(p.scene) == "4ebb183e999b9490"
