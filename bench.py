@@ -443,14 +443,20 @@ def main():
             [sys.executable,
              os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "tools", "accuracy_report.py"),
-             "--frames", "24", "--num-verts", "256", "--iters", "60"],
+             "--frames", "24", "--num-verts", "256", "--iters", "60",
+             "--optimizer", "both", "--deep-iters", "180"],
             env=env, capture_output=True, text=True, timeout=1800)
+        # a failed subprocess prints nothing to stdout — surface ITS
+        # stderr, not the secondary index error from splitlines()[-1]
+        if r.returncode != 0 or not r.stdout.strip():
+            raise RuntimeError(
+                f"rc={r.returncode} stderr: {r.stderr[-400:]}")
         extras["accuracy"] = json.loads(
             r.stdout.strip().splitlines()[-1])
         print(f"[bench] accuracy: {extras['accuracy']}",
               file=sys.stderr)
     except Exception as e:
-        extras["accuracy"] = {"error": str(e)[:200]}
+        extras["accuracy"] = {"error": str(e)[:400]}
         print(f"[bench] accuracy block FAILED: {e}", file=sys.stderr)
 
     # sharded multi-clip throughput vs single-clip: the fleet workload
@@ -510,13 +516,66 @@ def main():
             print(f"[bench] multi-clip bench FAILED: {e}",
                   file=sys.stderr)
 
-    print(json.dumps({
+    # Full result dict -> bench_out.json (the driver captures only the
+    # LAST 2000 chars of stdout, which used to truncate away the
+    # headline when the full extras dict rode on the one stdout line —
+    # VERDICT r3 weak #1). The single stdout JSON line is now a COMPACT
+    # summary that always fits the tail; everything else is in the
+    # file.
+    full = {
         "metric": f"clip_joint_opt_{T}f_local_mode_wallclock",
         "value": round(dt, 3),
         "unit": "s",
         "vs_baseline": round(60.0 / dt, 3),
         "extras": extras,
-    }))
+    }
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_out.json")
+    try:
+        with open(out_path, "w") as f:
+            json.dump(full, f, indent=1)
+        print(f"[bench] full results -> {out_path}", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] bench_out.json write failed: {e}",
+              file=sys.stderr)
+
+    def _phase_ms(name):
+        p = extras["phases"].get(name, {})
+        return p.get("ms_per_step_lazy", p.get("ms_per_step"))
+
+    acc = extras.get("accuracy", {})
+    compact = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "s",
+        "vs_baseline": full["vs_baseline"],
+        "extras": {
+            "modes_steady_s": {m: v.get("steady_s")
+                               for m, v in extras["modes"].items()},
+            "phase_ms_per_step": {k: _phase_ms(k)
+                                  for k in extras["phases"]},
+            "keypoint_fit_fps": extras.get("keypoint_fit_fps"),
+            "fleet_clips_per_hour_per_chip": extras.get(
+                "multi_clip", {}).get("clips_per_hour_per_chip"),
+            "fleet_per_clip_vs_single": extras.get(
+                "multi_clip", {}).get("per_clip_slowdown_vs_single"),
+            "accuracy": ({
+                "keypoint_mpjpe_mm": {
+                    k: v.get("mpjpe_mm")
+                    for k, v in acc.get("keypoint_fit", {}).items()},
+                "clip_mpjpe_mm": [
+                    acc.get("clip_solve_mpjpe_mm_before"),
+                    acc.get("clip_solve_mpjpe_mm_after"),
+                    acc.get("clip_solve_deep", {}).get(
+                        "mpjpe_mm_after")],
+            } if "error" not in acc else acc.get("error")),
+            "pallas_ok": extras.get("pallas_check", {}).get("ok"),
+            "cand_kernel_ok": extras.get("cand_kernel_check",
+                                         {}).get("ok"),
+            "full_results": "bench_out.json",
+        },
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -60,7 +60,12 @@ class ClipConfig:
     # ~20ns/row, so the per-step per-query candidate gather is the
     # single largest cost of the whole solve; candidates drift-stale
     # within the window saturate to the far field (gradient ~0).
-    # 0 = exact per-step grid query.
+    # 0 = exact per-step grid query for the CONTACT term. NOTE: when a
+    # scene SDF is attached, the collision term's linearization is
+    # refreshed on the same chunk boundary — with 0 it falls back to
+    # clip_solve.DEFAULT_REFRESH_STEPS (50), NOT per-step
+    # re-linearization (per-step would cross the host/jit boundary
+    # every Adam step, ~25 ms/dispatch through the TPU tunnel).
     contact_refresh_steps: int = 50
     # unique-cell budget per frame for the candidate refresh
     contact_cell_budget: int = 64

@@ -340,20 +340,6 @@ class SmplxModel:
                 "full_pose": full_pose, "v_shaped": v_shaped}
 
 
-def _tree_levels(parents):
-    """Group joints by kinematic-tree depth (static schedule)."""
-    depth = [0] * len(parents)
-    for j in range(1, len(parents)):
-        depth[j] = depth[parents[j]] + 1
-    levels = {}
-    for j, d in enumerate(depth):
-        levels.setdefault(d, []).append(j)
-    return [np.asarray(levels[d]) for d in sorted(levels)]
-
-
-_LEVELS = _tree_levels(PARENTS)
-
-
 def batch_rigid_transform(rot_mats: jnp.ndarray,
                           joints: jnp.ndarray,
                           parents: Tuple[int, ...]
@@ -366,56 +352,17 @@ def batch_rigid_transform(rot_mats: jnp.ndarray,
     processed by TREE DEPTH (static schedule): all joints at the same
     depth compose with their parents in one batched 4x4 matmul —
     ~11 sequential matmuls instead of 55 for the SMPL-X tree.
+
+    Implementation lives in fpv4d.models.fk, which also carries a
+    HAND-WRITTEN level-sweep adjoint (custom VJP) — built for r4
+    because XLA's op-granular reverse of the depth-11 sweep is ~100
+    small sequential ops and the dominant cost of every FK-bearing
+    solver phase (r3 split: 3.24 of local_a's 4.97 ms/step). Measured
+    on hardware it LOST to autodiff (~8%; fk.py, PERFORMANCE.md r4),
+    so fk.rigid_transform_prod selects the production path.
     """
-    B, J = joints.shape[:2]
-    dtype = joints.dtype
-    parents_arr = np.asarray(parents)
-    rel_joints = jnp.concatenate(
-        [joints[:, :1],
-         joints[:, 1:] - joints[:, parents_arr[1:]]], axis=1)
-
-    # local transforms [B,J,4,4]
-    pad = jnp.zeros((B, J, 1, 3), dtype=dtype)
-    top = jnp.concatenate([rot_mats, rel_joints[..., None]], axis=-1)
-    bottom = jnp.concatenate(
-        [pad, jnp.ones((B, J, 1, 1), dtype=dtype)], axis=-1)
-    local = jnp.concatenate([top, bottom], axis=-2)
-
-    levels = (_LEVELS if tuple(parents) == PARENTS
-              else _tree_levels(parents))
-    # A joint's parent sits EXACTLY one level up (depth[j] =
-    # depth[parent]+1 by construction), so the sweep works on small
-    # per-level arrays: each level selects its parents out of the
-    # previous level's [B, n_prev, 4, 4] block (static indices) and
-    # one static permutation assembles joint order at the end —
-    # replacing 11 .at[].set full-buffer scatters (and their
-    # scatter-add VJPs) with per-level concats. Measured
-    # cost-NEUTRAL on hardware (the joints-chain backward is ~100
-    # small latency-bound ops with no single hotspot — r3 model
-    # split), but avoids the [B, J, 4, 4] copy-per-level working set.
-    # Values are bit-identical: same matmuls in the same order.
-    outs = [local[:, levels[0]]]
-    for k, idx in enumerate(levels[1:]):
-        par = parents_arr[idx]
-        pos = np.searchsorted(levels[k], par)   # static: parent slots
-        n = len(idx)
-        # flatten (batch, level) before the matmul: multi-batch-dim
-        # dots from gathered operands trip an XLA algebraic-simplifier
-        # RET_CHECK under vmap (transpose/dot layout mismatch)
-        wp = outs[-1][:, pos].reshape(B * n, 4, 4)
-        lc = local[:, idx].reshape(B * n, 4, 4)
-        outs.append(jnp.matmul(wp, lc).reshape(B, n, 4, 4))
-    order = np.concatenate([np.asarray(l) for l in levels])
-    inv = np.argsort(order)
-    world = jnp.concatenate(outs, axis=1)[:, inv]
-
-    posed_joints = world[..., :3, 3]
-
-    # subtract the rest-pose joint position rotated into world frame:
-    # rel_T = world - pack(world[..., :3, :3] @ j_rest)
-    correction = jnp.einsum("bjpq,bjq->bjp", world[..., :3, :3], joints)
-    rel_transforms = world.at[..., :3, 3].add(-correction)
-    return posed_joints, rel_transforms
+    from fpv4d.models import fk
+    return fk.rigid_transform_prod(rot_mats, joints, tuple(parents))
 
 
 # ---------------------------------------------------------------------------

@@ -50,6 +50,11 @@ class MultiClipSolver:
         # the whole phase program every time (grids/scenes ride through
         # as arguments instead)
         self._compiled = {}
+        # voxel-grid cache observability: the r3 content-keyed cache
+        # saved ~1.4 s per C=8 fit() — these counters keep that win
+        # visible (and a key-thrash regression diagnosable)
+        self.grid_cache_hits = 0
+        self.grid_cache_misses = 0
 
     def _get_step(self, phase, steps: int, shapes_key, grid_b,
                   dct_windows=None, with_sdf: bool = False):
@@ -102,7 +107,9 @@ class MultiClipSolver:
         key = (arr.shape, hashlib.sha1(arr.tobytes()).hexdigest())
         cached = self._compiled.get(("grids",))
         if cached is not None and cached[0] == key:
+            self.grid_cache_hits += 1
             return cached[1]
+        self.grid_cache_misses += 1
         from fpv4d.ops import nn as NN
         # strip the far-away padding points before building grids
         # (they would blow the voxel bounding boxes)

@@ -306,11 +306,16 @@ def fit_keypoints(model: SmplxModel, vposer_params: Dict[str, jnp.ndarray],
     #     LBFGS in smplifyx. Runs at scan speed on TPU.
     #   'lbfgs_perframe' — vmapped per-frame: each ~83-dim frame
     #     problem gets its own memory and step size. Slightly better
-    #     recovery per iteration, but the vmapped zoom linesearch's
-    #     while-loops run until the LAST lane converges — measured
-    #     58x slower than Adam on TPU (5 frames/s at T=900); fine on
-    #     CPU-sized problems.
+    #     recovery per iteration. Uses a BOUNDED backtracking
+    #     linesearch instead of zoom: the vmapped zoom while-loops ran
+    #     until the LAST lane converged (measured 58x slower than Adam
+    #     on TPU, 5 frames/s at T=900 — r3); backtracking caps every
+    #     lane at max_backtracking_steps trials, which vectorizes.
     lbfgs = optax.lbfgs(memory_size=config.lbfgs_memory)
+    lbfgs_pf = optax.lbfgs(
+        memory_size=config.lbfgs_memory,
+        linesearch=optax.scale_by_backtracking_linesearch(
+            max_backtracking_steps=15, store_grad=True))
 
     @jax.jit
     def run_stage_lbfgs_joint(model, vposer_params, kp, face_kp, v,
@@ -336,8 +341,8 @@ def fit_keypoints(model: SmplxModel, vposer_params: Dict[str, jnp.ndarray],
         return p, h
 
     @jax.jit
-    def run_stage_lbfgs(model, vposer_params, kp, face_kp, v, joint_w,
-                        face_w, mask):
+    def run_stage_lbfgs_perframe(model, vposer_params, kp, face_kp, v,
+                                 joint_w, face_w, mask):
         def fit_one(v_t, kp_t, fk_t):
             def loss_fn(p):
                 p1 = jax.tree.map(lambda x: x[None], p)
@@ -352,11 +357,12 @@ def fit_keypoints(model: SmplxModel, vposer_params: Dict[str, jnp.ndarray],
             def step(carry, _):
                 p, st = carry
                 value, grad = vg(p, state=st)
-                updates, st = lbfgs.update(grad, st, p, value=value,
-                                           grad=grad, value_fn=loss_fn)
+                updates, st = lbfgs_pf.update(grad, st, p, value=value,
+                                              grad=grad,
+                                              value_fn=loss_fn)
                 return (optax.apply_updates(p, updates), st), value
 
-            (p, _), h = jax.lax.scan(step, (v_t, lbfgs.init(v_t)),
+            (p, _), h = jax.lax.scan(step, (v_t, lbfgs_pf.init(v_t)),
                                      None, length=config.num_iter)
             return p, h
 
@@ -382,10 +388,9 @@ def fit_keypoints(model: SmplxModel, vposer_params: Dict[str, jnp.ndarray],
                                                      jnp.float32),
                                          mask)
         elif config.optimizer == "lbfgs_perframe":
-            v, h = run_stage_lbfgs(model, vposer_params, keypoints,
-                                   face_kp, v, joint_w,
-                                   jnp.asarray(face_w, jnp.float32),
-                                   mask)
+            v, h = run_stage_lbfgs_perframe(
+                model, vposer_params, keypoints, face_kp, v, joint_w,
+                jnp.asarray(face_w, jnp.float32), mask)
         else:
             v, opt_state, h = run_stage(model, vposer_params,
                                         keypoints, face_kp, v,

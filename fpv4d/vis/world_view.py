@@ -98,9 +98,15 @@ def orbit_view(center: np.ndarray, radius: float, azimuth: float,
     turntable camera at `azimuth` radians around `center`, looking at
     it — the offline equivalent of the windowed viewer's rotating
     orbit (interactive_vis.py:123-143, the one capability fixed/follow
-    viewpoints don't cover)."""
+    viewpoints don't cover).
+
+    The WORLD here is y-UP (the repo's synthetic scenes put the floor
+    at y=-1; only the camera axes follow COLMAP's y-down convention),
+    so positive `elevation` raises the eye ABOVE the center — the
+    usual slightly-elevated turntable shot. Tested:
+    test_cli.py::test_orbit_eye_above_centroid."""
     eye = center + radius * np.array(
-        [np.cos(azimuth) * np.cos(elevation), -np.sin(elevation),
+        [np.cos(azimuth) * np.cos(elevation), np.sin(elevation),
          np.sin(azimuth) * np.cos(elevation)], dtype=np.float32)
     fwd = center - eye
     fwd = fwd / (np.linalg.norm(fwd) + 1e-9)           # +Z forward

@@ -110,6 +110,24 @@ def test_cli_vis_world(clip_dir, tmp_path):
         assert (arr.sum(-1) > 0).mean() > 0.005, p
 
 
+def test_orbit_eye_above_centroid():
+    """The world is y-up (synthetic floors sit at y=-1), so a positive
+    default elevation must put the turntable eye ABOVE the orbit
+    center — the r3 sign had it ~0.85 m below, near floor level,
+    looking up (ADVICE r3)."""
+    import numpy as np
+    from fpv4d.vis.world_view import orbit_view
+    center = np.array([0.5, 0.2, -1.0], np.float32)
+    for az in (0.0, 1.3, 2.9, 4.4):
+        view = orbit_view(center, radius=3.0, azimuth=az)
+        eye = view[:3, 3]
+        assert eye[1] > center[1], (az, eye)
+        # and it still looks AT the center: +Z column points there
+        fwd = view[:3, 2]
+        to_c = (center - eye) / np.linalg.norm(center - eye)
+        assert np.dot(fwd, to_c) > 0.99
+
+
 def test_cli_prep_pairs_campose_cloud(clip_dir, tmp_path):
     from fpv4d.cli.prep import main
     img_dir = tmp_path / "images"

@@ -208,10 +208,12 @@ def test_fit_with_face_keypoints(setup):
 
 
 def test_fit_lbfgs_recovers_truth(setup):
-    """config.optimizer='lbfgs' (per-frame vmapped L-BFGS, the
-    reference smplifyx's optimizer family) must converge — and at
-    least match Adam's 3D recovery at a third of the iterations
-    (measured: 8.2 mm vs Adam's 11.1 mm on the CPU dev fixture)."""
+    """config.optimizer='lbfgs' (JOINT-BATCH L-BFGS — one curvature
+    memory over the summed objective, torch-LBFGS/smplifyx semantics)
+    must converge — and at least match Adam's 3D recovery at a third
+    of the iterations (measured: 8.2 mm vs Adam's 11.1 mm on the CPU
+    dev fixture). The per-frame vmapped variant is
+    'lbfgs_perframe', checked below."""
     import dataclasses
     from fpv4d.models import params as P
     cfg = dataclasses.replace(setup["cfg"], optimizer="lbfgs",

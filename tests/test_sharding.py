@@ -290,6 +290,8 @@ def test_multi_clip_grid_cache(setup):
     scenes2[0, 0] += 0.125
     g2 = mc._get_grids(scenes2)
     assert g2 is not g1                           # content change
+    # observability counters track the hit/miss history above
+    assert (mc.grid_cache_hits, mc.grid_cache_misses) == (1, 2)
 
     # and the cached grids are what fit() consumes: two consecutive
     # fits give identical results

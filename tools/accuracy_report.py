@@ -29,12 +29,20 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 def run(frames: int = 30, num_verts: int = 512, noise_px: float = 2.0,
         body_noise: float = 0.05, iters: int = 120,
-        optimizer: str = "adam") -> dict:
+        optimizer: str = "adam", deep_iters: int = 0) -> dict:
+    """optimizer may be a single name or 'both' (adam + the
+    production-quality joint-batch L-BFGS — VERDICT r3 asked for the
+    L-BFGS result in the round artifact beside Adam, so an L-BFGS
+    numerics regression breaks the artifact too). deep_iters > 0 adds
+    a clip-solve row at a deeper schedule (the accuracy-vs-time
+    frontier probe)."""
     class args:
         pass
     args.frames, args.num_verts = frames, num_verts
     args.noise_px, args.body_noise = noise_px, body_noise
     args.iters = iters
+    optimizers = (["adam", "lbfgs"] if optimizer == "both"
+                  else [optimizer])
 
     import jax.numpy as jnp
     from fpv4d.config import ClipConfig, KeypointFitConfig
@@ -49,7 +57,6 @@ def run(frames: int = 30, num_verts: int = 512, noise_px: float = 2.0,
     rng = np.random.RandomState(0)
     model = jsmplx.synthetic_model(num_verts=args.num_verts, seed=3)
     vp = VP.random_params(seed=3)
-    kcfg = KeypointFitConfig(num_iter=args.iters, optimizer=optimizer)
 
     # ---- ground-truth motion: slow and smooth, so it satisfies the
     # temporal priors the clip solve applies (a truth that violates
@@ -72,34 +79,44 @@ def run(frames: int = 30, num_verts: int = 512, noise_px: float = 2.0,
                    body_pose=pose63)
     j_gt_cam = np.asarray(out_gt["joints"]) + cam_t_gt[:, None, :]
 
-    # ---- 1. keypoint fit vs truth -------------------------------------------
+    # ---- 1. keypoint fit vs truth (per optimizer) ---------------------------
+    kcfg0 = KeypointFitConfig(num_iter=args.iters)
     valid = BODY25_FROM_SMPLX >= 0
     ids = np.where(valid, BODY25_FROM_SMPLX, 0)
-    center = jnp.asarray([kcfg.image_size[0] / 2, kcfg.image_size[1] / 2])
+    center = jnp.asarray([kcfg0.image_size[0] / 2,
+                          kcfg0.image_size[1] / 2])
     j2d_gt = np.asarray(project(jnp.asarray(j_gt_cam[:, ids]),
-                                kcfg.focal_length, center))
+                                kcfg0.focal_length, center))
     j2d_obs = j2d_gt + rng.randn(*j2d_gt.shape) * args.noise_px
     kp = np.concatenate(
         [j2d_obs, np.tile(valid.astype(np.float32)[None, :, None],
                           (T, 1, 1))], -1).astype(np.float32)
 
-    params, hist = fit_keypoints(model, vp, jnp.asarray(kp), kcfg)
-    d = P.split(jnp.asarray(params))
-    pose_fit = VP.decode(vp, d["body_pose"])
-    out_fit = model(betas=d["betas"], global_orient=d["global_orient"],
-                    body_pose=pose_fit)
-    j_fit_cam = (np.asarray(out_fit["joints"])
-                 + np.asarray(d["camera_translation"])[:, None, :])
-    sel = np.unique(ids[valid])
-    mpjpe_3d = float(np.linalg.norm(
-        j_fit_cam[:, sel] - j_gt_cam[:, sel], axis=-1).mean())
-    j2d_fit = np.asarray(project(jnp.asarray(j_fit_cam[:, ids]),
-                                 kcfg.focal_length, center))
-    reproj_px = float(np.linalg.norm(
-        j2d_fit - j2d_gt, axis=-1)[:, valid].mean())
-    print(f"[accuracy] keypoint fit: 3D MPJPE {mpjpe_3d * 1000:.1f} mm, "
-          f"2D reproj {reproj_px:.2f} px "
-          f"(obs noise {args.noise_px} px)", file=sys.stderr)
+    kp_results = {}
+    for opt_name in optimizers:
+        kcfg = KeypointFitConfig(num_iter=args.iters, optimizer=opt_name)
+        params, hist = fit_keypoints(model, vp, jnp.asarray(kp), kcfg)
+        d = P.split(jnp.asarray(params))
+        pose_fit = VP.decode(vp, d["body_pose"])
+        out_fit = model(betas=d["betas"],
+                        global_orient=d["global_orient"],
+                        body_pose=pose_fit)
+        j_fit_cam = (np.asarray(out_fit["joints"])
+                     + np.asarray(d["camera_translation"])[:, None, :])
+        sel = np.unique(ids[valid])
+        mpjpe_3d = float(np.linalg.norm(
+            j_fit_cam[:, sel] - j_gt_cam[:, sel], axis=-1).mean())
+        j2d_fit = np.asarray(project(jnp.asarray(j_fit_cam[:, ids]),
+                                     kcfg.focal_length, center))
+        reproj_px = float(np.linalg.norm(
+            j2d_fit - j2d_gt, axis=-1)[:, valid].mean())
+        kp_results[opt_name] = {"mpjpe_mm": round(mpjpe_3d * 1000, 2),
+                                "reproj_px": round(reproj_px, 3)}
+        print(f"[accuracy] keypoint fit ({opt_name}): 3D MPJPE "
+              f"{mpjpe_3d * 1000:.1f} mm, 2D reproj {reproj_px:.2f} px "
+              f"(obs noise {args.noise_px} px)", file=sys.stderr)
+    mpjpe_3d = kp_results[optimizers[0]]["mpjpe_mm"] / 1000.0
+    reproj_px = kp_results[optimizers[0]]["reproj_px"]
 
     # ---- 2. clip solve pulls a noisy init toward the truth ------------------
     body_gt = np.concatenate(
@@ -153,6 +170,31 @@ def run(frames: int = 30, num_verts: int = 512, noise_px: float = 2.0,
     err_before = float(np.linalg.norm(jw_noisy - jw_gt, axis=-1).mean())
     err_after = float(np.linalg.norm(jw_solved - jw_gt, axis=-1).mean())
 
+    deep = None
+    if deep_iters:
+        # accuracy-vs-time frontier probe: same problem, deeper Adam
+        # schedule — distinguishes under-convergence from objective
+        # bias (the solve has ~20x wall-clock headroom vs the 60 s
+        # target to spend here)
+        import dataclasses
+        solver_deep = ClipSolver(
+            model=model, vposer_params=vp, scene_verts=scene,
+            contact_vids=np.concatenate([vl, vr]),
+            contact_vids_left=vl, contact_vids_right=vr,
+            config=dataclasses.replace(solver.config,
+                                       num_iter=deep_iters))
+        st_d, _ = solver_deep.fit(jnp.asarray(body_noisy),
+                                  jnp.asarray(cam), mode="local")
+        jw_deep = cam_joints(
+            np.asarray(rotations.params_to_3d(st_d.body_6d)))
+        err_deep = float(np.linalg.norm(jw_deep - jw_gt,
+                                        axis=-1).mean())
+        deep = {"iters": deep_iters,
+                "mpjpe_mm_after": round(err_deep * 1000, 2)}
+        print(f"[accuracy] clip solve deep ({deep_iters} iters): "
+              f"MPJPE-vs-truth {err_deep * 1000:.1f} mm",
+              file=sys.stderr)
+
     # jitter = mean second difference of the joint trajectories — the
     # quantity the temporal terms exist to remove. The solved clip
     # must land at (or below) the truth's own smoothness, starting
@@ -172,9 +214,12 @@ def run(frames: int = 30, num_verts: int = 512, noise_px: float = 2.0,
           f"MPJPE-vs-truth {err_before * 1000:.1f} -> "
           f"{err_after * 1000:.1f} mm", file=sys.stderr)
 
-    return {
+    out = {
         "frames": T,
-        "keypoint_optimizer": optimizer,
+        # flat keys = the FIRST optimizer (adam), kept for
+        # compatibility; per-optimizer results in keypoint_fit
+        "keypoint_optimizer": optimizers[0],
+        "keypoint_fit": kp_results,
         "keypoint_fit_mpjpe_mm": round(mpjpe_3d * 1000, 2),
         "keypoint_fit_reproj_px": round(reproj_px, 3),
         "obs_noise_px": args.noise_px,
@@ -184,6 +229,9 @@ def run(frames: int = 30, num_verts: int = 512, noise_px: float = 2.0,
         "clip_solve_mpjpe_mm_before": round(err_before * 1000, 2),
         "clip_solve_mpjpe_mm_after": round(err_after * 1000, 2),
     }
+    if deep is not None:
+        out["clip_solve_deep"] = deep
+    return out
 
 
 def main():
@@ -196,10 +244,13 @@ def main():
                     help="parameter noise for the clip-solve init")
     ap.add_argument("--iters", type=int, default=120)
     ap.add_argument("--optimizer", default="adam",
-                    choices=["adam", "lbfgs", "lbfgs_perframe"])
+                    choices=["adam", "lbfgs", "lbfgs_perframe", "both"])
+    ap.add_argument("--deep-iters", type=int, default=0,
+                    help="extra clip-solve row at this num_iter")
     a = ap.parse_args()
     print(json.dumps(run(a.frames, a.num_verts, a.noise_px,
-                         a.body_noise, a.iters, a.optimizer)))
+                         a.body_noise, a.iters, a.optimizer,
+                         a.deep_iters)))
 
 
 if __name__ == "__main__":
