@@ -144,6 +144,49 @@ class SmplxModel:
     def num_pca(self) -> int:
         return self.hands_components_l.shape[0]
 
+    # -- static joint-support analysis ---------------------------------------
+    def joint_support(self, vertex_subset) -> Optional[Tuple[np.ndarray,
+                                                             np.ndarray]]:
+        """Exact static support of a vertex subset over the joint set.
+
+        Real SMPL-X artifacts store SPARSE skinning weights (each
+        vertex is influenced by a handful of joints; a leg vertex has
+        exactly-zero weight on all 30 finger joints), so a subset-
+        skinned forward only needs the transforms of the joints that
+        actually touch the subset — plus their ancestors to compose
+        the chain. For the clip solver's ~870 leg contact vertices
+        that collapses the FK from a depth-11, 55-joint tree to a
+        depth-5, ~9-joint one (the latency-bound backward chain is
+        the dominant phase cost — PERFORMANCE.md r4).
+
+        Returns (joint_subset, pose_joint_subset) for __call__, or
+        None when nothing prunes (dense-weight models keep exact
+        reference semantics automatically). joint_subset is the
+        ancestor-closed set of joints with nonzero LBS weight over the
+        subset; pose_joint_subset the joints whose pose-blendshape
+        rows are nonzero over the subset's columns. Pruning only drops
+        terms that are EXACTLY zero — results differ from the full
+        model by f32 summation order only (tested to 1e-6,
+        tests/test_joint_prune.py)."""
+        sub = np.asarray(vertex_subset)
+        w_nz = np.asarray(jnp.max(
+            (self.lbs_weights[sub] != 0).astype(jnp.int32), axis=0))
+        kept = set(int(j) for j in np.where(w_nz)[0]) | {0}
+        for j in list(kept):                       # ancestor closure
+            while PARENTS[j] >= 0:
+                j = PARENTS[j]
+                kept.add(j)
+        kept = np.asarray(sorted(kept), np.int32)
+        cols = (sub[:, None] * 3 + np.arange(3)).reshape(-1)
+        pd_nz = np.asarray(jnp.max(jnp.abs(
+            self.posedirs[:, cols]).reshape(NUM_JOINTS - 1, -1),
+            axis=1)) > 0
+        pose_joints = (1 + np.where(pd_nz)[0]).astype(np.int32)
+        if (len(kept) == NUM_JOINTS
+                and len(pose_joints) == NUM_JOINTS - 1):
+            return None
+        return kept, pose_joints
+
     # -- forward -------------------------------------------------------------
     def hand_pose_aa(self, coeffs: jnp.ndarray, side: str) -> jnp.ndarray:
         """PCA coefficients [..., n_pca] -> axis-angle [..., 45]."""
@@ -169,6 +212,8 @@ class SmplxModel:
                  reye_pose: Optional[jnp.ndarray] = None,
                  expression: Optional[jnp.ndarray] = None,
                  vertex_subset: Optional[np.ndarray] = None,
+                 joint_subset: Optional[np.ndarray] = None,
+                 pose_joint_subset: Optional[np.ndarray] = None,
                  **unused_kwargs) -> Dict[str, jnp.ndarray]:
         """Batched SMPL-X forward.
 
@@ -193,6 +238,17 @@ class SmplxModel:
         solver's contact term needs ~900 of the 10,475 vertices, a
         ~12x cut of the LBS hot path; the reference always skins the
         full mesh and slices afterwards (global_optimization.py:283-290).
+
+        joint_subset / pose_joint_subset (static, from
+        ``joint_support(vertex_subset)``): additionally restrict the
+        FK chain + LBS columns (resp. the pose-blendshape rows) to the
+        subset's exact static support — only valid together with
+        vertex_subset, and only sound for callers that do NOT consume
+        the joints output: the returned ``joints`` then carries real
+        values at joint_subset slots and NaN elsewhere, so any
+        accidental consumer fails loudly instead of silently reading
+        zeros. Drops only exactly-zero terms (f32 summation order is
+        the only difference; tests/test_joint_prune.py).
 
         Returns dict with vertices [B,V,3] (V = len(vertex_subset) if
         given) and joints [B,55,3], matching the .vertices/.joints
@@ -311,20 +367,55 @@ class SmplxModel:
             rot_mats = jnp.concatenate([head, body_m, conv[:, i:]],
                                        axis=1)
         eye = jnp.eye(3, dtype=dtype)
-        pose_feat = (rot_mats[:, 1:] - eye).reshape(B, -1)  # [B,(J-1)*9]
+        if pose_joint_subset is not None and vertex_subset is not None:
+            # pose-blendshape rows restricted to the subset's exact
+            # static support (rows outside it are all-zero over the
+            # subset's columns)
+            pj = np.asarray(pose_joint_subset)
+            pose_feat = (rot_mats[:, pj] - eye).reshape(B, -1)
+            rows = ((pj - 1)[:, None] * 9 + np.arange(9)).reshape(-1)
+            posedirs_used = posedirs[rows]
+        else:
+            pose_feat = (rot_mats[:, 1:] - eye).reshape(B, -1)
+            posedirs_used = posedirs
         # one [B, S+(J-1)*9] @ [S+(J-1)*9, Vs*3] matmul applies shape
         # AND pose blendshapes (the concatenated table is
         # loop-invariant — XLA hoists it out of solver scans)
         feat = jnp.concatenate([shape_feat, pose_feat], axis=-1)
-        table = jnp.concatenate([dirs2d, posedirs], axis=0)
+        table = jnp.concatenate([dirs2d, posedirs_used], axis=0)
         v_posed = template + jnp.matmul(feat, table).reshape(B, -1, 3)
 
         # 4. forward kinematics along the (static) parent chain
-        joints_world, rel_transforms = batch_rigid_transform(
-            rot_mats, j_rest, PARENTS)
+        if joint_subset is not None and vertex_subset is not None:
+            # FK over the ancestor-closed support only: for leg
+            # contact vertices this is a depth-5, ~9-joint chain
+            # instead of depth-11 x 55 — the chain's latency-bound
+            # fwd+bwd is the dominant phase cost (PERFORMANCE.md r4).
+            # The hand rotation-codec chains feeding the dropped
+            # rot_mats rows are dead code XLA eliminates.
+            kept = np.asarray(joint_subset)
+            kpos = {int(j): i for i, j in enumerate(kept)}
+            assert all(PARENTS[int(j)] < 0 or int(PARENTS[int(j)])
+                       in kpos for j in kept), \
+                "joint_subset must be ancestor-closed"
+            parents_k = tuple(-1 if PARENTS[int(j)] < 0
+                              else kpos[int(PARENTS[int(j)])]
+                              for j in kept)
+            joints_k, rel_k = batch_rigid_transform(
+                rot_mats[:, kept], j_rest[:, kept], parents_k)
+            # joints output: real values at kept slots, NaN elsewhere
+            # (loud failure for any caller that consumes a pruned
+            # joint — pruned calls are for vertices-only losses)
+            joints_world = jnp.full((B, NUM_JOINTS, 3), jnp.nan,
+                                    dtype=dtype).at[:, kept].set(joints_k)
+            A = rel_k[..., :3, :].reshape(B, len(kept), 12)
+            lbs_weights = lbs_weights[:, kept]
+        else:
+            joints_world, rel_transforms = batch_rigid_transform(
+                rot_mats, j_rest, PARENTS)
+            A = rel_transforms[..., :3, :].reshape(B, NUM_JOINTS, 12)
 
         # 5. linear blend skinning (3x4 blended affine per vertex)
-        A = rel_transforms[..., :3, :].reshape(B, NUM_JOINTS, 12)
         T = jnp.einsum("vj,bjk->bvk", lbs_weights,
                        A).reshape(B, -1, 3, 4)
         v_homo = jnp.concatenate(
@@ -462,7 +553,9 @@ def _synthetic_rest_joints() -> np.ndarray:
 
 def synthetic_model(num_verts: int = 1024, num_betas: int = 10,
                     num_expr: int = 10, num_pca: int = 12,
-                    seed: int = 0, dtype=jnp.float32) -> SmplxModel:
+                    seed: int = 0, dtype=jnp.float32,
+                    sparse_weights: bool = False,
+                    sparse_posedirs: bool = False) -> SmplxModel:
     """Deterministic synthetic SMPL-X-shaped model for tests/benchmarks.
 
     Vertices are scattered around the bone segments of a plausible
@@ -470,6 +563,18 @@ def synthetic_model(num_verts: int = 1024, num_betas: int = 10,
     joint, so posing produces sane meshes and well-conditioned fitting
     problems. Same tensor shapes/contracts as the licensed artifact at
     any vertex count.
+
+    sparse_weights=True matches the real artifact's skinning SPARSITY:
+    official SMPL-X lbs_weights carry only a few nonzero joints per
+    vertex (a leg vertex has exactly-zero weight on every finger
+    joint) — here top-4 per vertex, renormalized. This is what makes
+    the static joint-support FK pruning (SmplxModel.joint_support)
+    engage; the dense default keeps older fixtures/thresholds
+    unchanged. The real artifact's posedirs are LEARNED AND DENSE, so
+    they stay dense here by default; sparse_posedirs=True additionally
+    restricts pose-blendshape entries to joints adjacent to each
+    vertex's support (a stronger structure than the real artifact —
+    test-only, to exercise the pose_joint_subset path).
     """
     rng = np.random.RandomState(seed)
     rest = _synthetic_rest_joints()                      # [55,3]
@@ -487,6 +592,14 @@ def synthetic_model(num_verts: int = 1024, num_betas: int = 10,
     d2 = ((verts[:, None, :] - rest[None, :, :]) ** 2).sum(-1)
     w = np.exp(-d2 / (2 * 0.05 ** 2))
     w /= w.sum(axis=1, keepdims=True) + 1e-12
+    if sparse_weights:
+        # top-4 joints per vertex, renormalized (the real artifact's
+        # structure: all other entries are exactly 0)
+        rows = np.arange(num_verts)[:, None]
+        top = np.argsort(w, axis=1)[:, -4:]
+        w_s = np.zeros_like(w)
+        w_s[rows, top] = w[rows, top]
+        w = w_s / w_s.sum(axis=1, keepdims=True)
 
     # joint regressor: for each joint, weights over its nearest verts
     jreg = np.zeros((NUM_JOINTS, num_verts), dtype=np.float32)
@@ -504,6 +617,15 @@ def synthetic_model(num_verts: int = 1024, num_betas: int = 10,
     exprdirs = rng.randn(num_verts, 3, num_expr).astype(np.float32) * 0.002
     posedirs = (rng.randn((NUM_JOINTS - 1) * 9, num_verts * 3)
                 .astype(np.float32) * 0.001)
+    if sparse_posedirs:
+        # pose-blendshape support mirrors the skinning support:
+        # joint j's corrective rows touch only vertices influenced by
+        # j or its parent (everything else exactly 0 — NOTE: stronger
+        # than the real artifact, whose posedirs are dense; test-only)
+        allow = ((w[:, 1:] > 0)
+                 | (w[:, parents[1:]] > 0))          # [V, J-1]
+        mask = np.repeat(np.repeat(allow.T, 9, axis=0), 3, axis=1)
+        posedirs *= mask.astype(np.float32)
     hands_comp_l = rng.randn(num_pca, 45).astype(np.float32) * 0.1
     hands_comp_r = rng.randn(num_pca, 45).astype(np.float32) * 0.1
     hands_mean = rng.randn(2, 45).astype(np.float32) * 0.05

@@ -372,7 +372,8 @@ def build_sharded_sdf_refresh(solver: ClipSolver, mesh: Mesh,
             ctx = Ctx(model=ctx_base.model, vposer=ctx_base.vposer,
                       scene=ctx_base.scene)
             verts_w, _, _ = forward_world(
-                ctx, state, vertex_subset=solver.contact_vids)
+                ctx, state, vertex_subset=solver.contact_vids,
+                prune=solver._contact_prune)
             return SDFM.linearize(sdf, verts_w)
         return jax.vmap(one)(state_b)
 
@@ -423,7 +424,8 @@ def build_sharded_refresh(solver: ClipSolver, mesh: Mesh,
             ctx = Ctx(model=ctx_base.model, vposer=ctx_base.vposer,
                       scene=scene, grid=grid_c)
             verts_w, _, _ = forward_world(
-                ctx, state, vertex_subset=solver.contact_vids)
+                ctx, state, vertex_subset=solver.contact_vids,
+                prune=solver._contact_prune)
             return NN.frame_candidates(grid_c, verts_w, budget)
 
         return jax.vmap(one, in_axes=(0, grid_ax, 0))(
@@ -467,7 +469,8 @@ def build_sharded_detect_contact(solver: ClipSolver, mesh: Mesh,
         else None
 
     def per_clip(ctx, state):
-        verts_w, _, _ = forward_world(ctx, state, vertex_subset=feet)
+        verts_w, _, _ = forward_world(ctx, state, vertex_subset=feet,
+                                      prune=solver._feet_prune)
         d_l = jnp.mean(solver._nn(verts_w[:, :n_left], ctx.scene,
                                   ctx.grid), axis=1)
         d_r = jnp.mean(solver._nn(verts_w[:, n_left:], ctx.scene,

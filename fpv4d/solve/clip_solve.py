@@ -118,8 +118,11 @@ def mask_stop_gradient(state: ClipState, mask: ClipState) -> ClipState:
         lambda x, m: x if m else jax.lax.stop_gradient(x), state, mask)
 
 
+_DUMMY_VERT = np.zeros(1, np.int32)
+
+
 def forward_world(ctx: Ctx, state: ClipState,
-                  vertex_subset=None
+                  vertex_subset=None, prune=None
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
     """body_6d -> world-space vertices [T,V,3] and joints [T,23,3].
 
@@ -130,7 +133,16 @@ def forward_world(ctx: Ctx, state: ClipState,
     verts_transform without the *scale it gives verts).
 
     vertex_subset (static ids) restricts skinning to the vertices a
-    loss actually reads (e.g. the contact set) — a ~12x LBS cut."""
+    loss actually reads (e.g. the contact set) — a ~12x LBS cut.
+
+    prune: optional (joint_subset, pose_joint_subset) from
+    model.joint_support(vertex_subset) — the VERTICES then come from a
+    joint-support-pruned forward (depth-5, ~9-joint FK for leg contact
+    sets) and the JOINTS from a separate full-chain joints-only call.
+    Phase losses that read only one of the two leave the other call to
+    XLA dead-code elimination, so contact-only phases (local_a/
+    global_a/skate/refresh) never pay the 55-joint chain at all.
+    Exact: pruning drops exactly-zero terms only (f32 sum order)."""
     # decode straight from the 78-d layout (P.split_6d — canonical
     # slot table in fpv4d.models.params): rotations flow as MATRICES
     # end to end — the 6D orient slot and VPoser's 6D decode both
@@ -141,18 +153,25 @@ def forward_world(ctx: Ctx, state: ClipState,
     latent = d["body_pose"]
     pose_mat = VP.decode(ctx.vposer, latent, output_type="matrot")
     orient_mat = rotations.rot6d_to_matrot(d["global_orient"])
-    out = ctx.model(
+    common = dict(
         betas=d["betas"], global_orient=jnp.zeros_like(d["transl"]),
         global_orient_matrot=orient_mat,
         body_pose_matrot=pose_mat, transl=d["transl"],
         left_hand_pose=d["left_hand_pose"],
-        right_hand_pose=d["right_hand_pose"],
-        vertex_subset=vertex_subset)
+        right_hand_pose=d["right_hand_pose"])
+    if prune is None:
+        out = ctx.model(**common, vertex_subset=vertex_subset)
+        verts, joints = out["vertices"], out["joints"]
+    else:
+        out_v = ctx.model(**common, vertex_subset=vertex_subset,
+                          joint_subset=prune[0],
+                          pose_joint_subset=prune[1])
+        out_j = ctx.model(**common, vertex_subset=_DUMMY_VERT)
+        verts, joints = out_v["vertices"], out_j["joints"]
     b2w = transforms.body2world(state.camera_ext,
                                 d["camera_translation"], state.scale)
-    verts_w = transforms.transform_points(
-        out["vertices"] * state.scale, b2w)
-    joints_w = transforms.transform_points(out["joints"][:, :23], b2w)
+    verts_w = transforms.transform_points(verts * state.scale, b2w)
+    joints_w = transforms.transform_points(joints[:, :23], b2w)
     return verts_w, joints_w, {"latent": latent}
 
 
@@ -224,6 +243,17 @@ class ClipSolver:
                                           np.int32)
             self._skate_right = np.asarray(self.contact_vids_right,
                                            np.int32)
+        # static joint-support pruning (r4): with sparse real-artifact
+        # skinning weights the contact set touches only the leg chain,
+        # so contact/skate/refresh forwards skip most of the 55-joint
+        # FK. None when nothing prunes (dense models) — exact either
+        # way (model.joint_support docstring).
+        self._feet_vids = np.concatenate([self.contact_vids_left,
+                                          self.contact_vids_right])
+        self._contact_prune = self.model.joint_support(self.contact_vids)
+        self._skate_prune = (self.model.joint_support(self._skate_vids)
+                             if self._skate_vids is not None else None)
+        self._feet_prune = self.model.joint_support(self._feet_vids)
 
     @property
     def ctx(self) -> Ctx:
@@ -258,14 +288,19 @@ class ClipSolver:
 
     def terms(self, state: ClipState, target_6d: jnp.ndarray,
               frame_weights: jnp.ndarray,
-              ctx: Optional[Ctx] = None) -> Terms:
-        """All six cal_loss terms (global_optimization.py:249-312)."""
+              ctx: Optional[Ctx] = None, prune=None) -> Terms:
+        """All six cal_loss terms (global_optimization.py:249-312).
+
+        prune: optional joint-support pruning for the VERTEX forward
+        (forward_world docstring) — pass only from phases whose loss
+        reads verts_w but not joints_w, so the full-chain joints call
+        is dead code XLA removes."""
         ctx = self.ctx if ctx is None else ctx
         w = self.config.weights
         # skin only the contact vertices — everything else the loss
         # reads (joints, params) doesn't need the other ~10k verts
         verts_w, joints_w, aux = forward_world(
-            ctx, state, vertex_subset=self.contact_vids)
+            ctx, state, vertex_subset=self.contact_vids, prune=prune)
         rec = w.rec * losses.rec_l1(target_6d, state.body_6d, frame_weights)
         vposer = w.vposer * losses.vposer_prior(aux["latent"])
         smooth = losses.second_order_smoothness(state.body_6d)
@@ -296,7 +331,8 @@ class ClipSolver:
         ctx = self.ctx if ctx is None else ctx
         w = self.config.weights
         verts_w, _, _ = forward_world(ctx, state,
-                                      vertex_subset=self._skate_vids)
+                                      vertex_subset=self._skate_vids,
+                                      prune=self._skate_prune)
         rec = w.rec * losses.rec_l1(target_6d, state.body_6d, frame_weights)
         local_smooth = losses.second_order_smoothness(state.body_6d)
         vert_smooth = losses.second_order_smoothness(verts_w)
@@ -320,7 +356,8 @@ class ClipSolver:
             @jax.jit
             def run(ctx, state):
                 verts_w, _, _ = forward_world(
-                    ctx, state, vertex_subset=self.contact_vids)
+                    ctx, state, vertex_subset=self.contact_vids,
+                    prune=self._contact_prune)
                 fc = NN.frame_candidates(ctx.grid, verts_w, budget)
                 if pack:
                     return CP.pack_candidates(fc.cand, fc.valid)
@@ -343,7 +380,8 @@ class ClipSolver:
             @jax.jit
             def run(ctx, sdf, state):
                 verts_w, _, _ = forward_world(
-                    ctx, state, vertex_subset=self.contact_vids)
+                    ctx, state, vertex_subset=self.contact_vids,
+                    prune=self._contact_prune)
                 return SDF.linearize(sdf, verts_w)
 
             self._compiled["refresh_sdf"] = run
@@ -388,13 +426,13 @@ class ClipSolver:
         if "detect_contact" not in self._compiled:
 
             n_left = len(self.contact_vids_left)
-            feet = np.concatenate([self.contact_vids_left,
-                                   self.contact_vids_right])
+            feet = self._feet_vids
 
             @jax.jit
             def run(ctx, state):
                 verts_w, _, _ = forward_world(ctx, state,
-                                              vertex_subset=feet)
+                                              vertex_subset=feet,
+                                              prune=self._feet_prune)
                 d_l = jnp.mean(self._nn(
                     verts_w[:, :n_left], ctx.scene, ctx.grid), axis=1)
                 d_r = jnp.mean(self._nn(
@@ -471,7 +509,17 @@ class ClipSolver:
         reference's per-stage loss lines (global_optimization.py:
         505-523 local, :564-582 global, :601-620 dct)."""
         cfg = self.config
-        t = self.terms(state, target_6d, frame_weights, ctx)
+        # joint-support pruning only where the phase loss reads verts
+        # but NOT joints: local_a/global_a (contact+smooth+rec[+sdf])
+        # then run the depth-pruned FK and XLA removes the full-chain
+        # joints call entirely. dct_b reads joints_w too (t.dct), so
+        # pruning there would ADD a second small FK next to the full
+        # one it must pay anyway — net loss; local_b/global_b/dct_a
+        # read no verts, so prune is moot (the vertex forward is dead
+        # code either way).
+        prune = (self._contact_prune
+                 if phase in ("local_a", "global_a") else None)
+        t = self.terms(state, target_6d, frame_weights, ctx, prune=prune)
         # t.collision is 0 unless a scene SDF was supplied; it rides
         # with the contact term in every contact-bearing phase (the
         # reference's weight_collision shipped beside weight_contact)

@@ -49,18 +49,28 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str:
 def cached_synthetic_model(num_verts: int, cache_dir: str, seed: int = 0):
     """The synthetic SMPL-X-sized model takes ~20 s of single-core
     numpy to generate; cache its arrays next to the compilation
-    cache."""
+    cache.
+
+    r4 workload re-baseline (deliberate, recorded in PERFORMANCE.md
+    and the pinned-hash test): sparse_weights=True matches the real
+    artifact's skinning sparsity (official SMPL-X lbs_weights carry a
+    handful of nonzero joints per vertex), which the dense r2/r3
+    stand-in misrepresented — it connected every contact vertex to all
+    55 joints, blocking the static FK pruning a real-artifact solve
+    gets. posedirs stay dense, like the real artifact's."""
     import jax.numpy as jnp
     from fpv4d.models import smplx as jsmplx
 
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"synthmodel_{num_verts}.npz")
+    # new cache name: stale dense-model caches must not serve r4+ runs
+    path = os.path.join(cache_dir, f"synthmodel_{num_verts}_sw.npz")
     if os.path.exists(path):
         data = np.load(path)
         return jsmplx.SmplxModel(
             **{k: jnp.asarray(data[k]) for k in jsmplx.SmplxModel._LEAVES},
             faces=data["faces"])
-    model = jsmplx.synthetic_model(num_verts=num_verts, seed=seed)
+    model = jsmplx.synthetic_model(num_verts=num_verts, seed=seed,
+                                   sparse_weights=True)
     np.savez(path, faces=model.faces,
              **{k: np.asarray(getattr(model, k))
                 for k in jsmplx.SmplxModel._LEAVES})
