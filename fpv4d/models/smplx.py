@@ -551,6 +551,41 @@ def _synthetic_rest_joints() -> np.ndarray:
     return joints
 
 
+def synthetic_vertex_bones(num_verts: int, seed: int = 0) -> np.ndarray:
+    """[V] generating bone of each synthetic vertex: vertex v was
+    scattered around the segment joint[b] -> parent(joint[b]).
+
+    MUST replicate synthetic_model's FIRST rng draw exactly (same
+    seed, same call) — pinned by test_smplx's consistency test. Lets
+    callers (fpv4d.ops.contact.synthetic_segments coherent=True) build
+    body-part-coherent vertex sets like the real PROX segment files
+    without re-deriving geometry."""
+    rng = np.random.RandomState(seed)
+    return rng.randint(1, NUM_JOINTS, size=num_verts)
+
+
+def _tree_hops(parents: np.ndarray) -> np.ndarray:
+    """[J,J] hop distance over the kinematic tree (BFS per node)."""
+    J = len(parents)
+    adj = [[] for _ in range(J)]
+    for j in range(1, J):
+        adj[j].append(int(parents[j]))
+        adj[int(parents[j])].append(j)
+    hops = np.full((J, J), J, np.int32)
+    for s in range(J):
+        hops[s, s] = 0
+        queue = [s]
+        while queue:
+            nxt = []
+            for u in queue:
+                for v in adj[u]:
+                    if hops[s, v] > hops[s, u] + 1:
+                        hops[s, v] = hops[s, u] + 1
+                        nxt.append(v)
+            queue = nxt
+    return hops
+
+
 def synthetic_model(num_verts: int = 1024, num_betas: int = 10,
                     num_expr: int = 10, num_pca: int = 12,
                     seed: int = 0, dtype=jnp.float32,
@@ -564,12 +599,16 @@ def synthetic_model(num_verts: int = 1024, num_betas: int = 10,
     problems. Same tensor shapes/contracts as the licensed artifact at
     any vertex count.
 
-    sparse_weights=True matches the real artifact's skinning SPARSITY:
-    official SMPL-X lbs_weights carry only a few nonzero joints per
-    vertex (a leg vertex has exactly-zero weight on every finger
-    joint) — here top-4 per vertex, renormalized. This is what makes
-    the static joint-support FK pruning (SmplxModel.joint_support)
-    engage; the dense default keeps older fixtures/thresholds
+    sparse_weights=True matches the real artifact's skinning
+    STRUCTURE: official SMPL-X lbs_weights carry only a few nonzero
+    joints per vertex AND those joints are kinematically local (a
+    thigh vertex has exactly-zero weight on every finger joint even
+    though rest-pose fingers hang Euclidean-near the thigh — skinning
+    weights are learned per part, not by distance). Here: top-4 per
+    vertex among joints within 2 tree hops of the vertex's generating
+    bone, renormalized. This is what makes the static joint-support FK
+    pruning (SmplxModel.joint_support) engage the way it does on the
+    real artifact; the dense default keeps older fixtures/thresholds
     unchanged. The real artifact's posedirs are LEARNED AND DENSE, so
     they stay dense here by default; sparse_posedirs=True additionally
     restricts pose-blendshape entries to joints adjacent to each
@@ -580,7 +619,9 @@ def synthetic_model(num_verts: int = 1024, num_betas: int = 10,
     rest = _synthetic_rest_joints()                      # [55,3]
     parents = np.asarray(PARENTS)
 
-    # sample vertices near bones (segment joint->parent)
+    # sample vertices near bones (segment joint->parent); the bone
+    # draw is shared with synthetic_vertex_bones (same seed => same
+    # assignment — that function's contract)
     seg_j = rng.randint(1, NUM_JOINTS, size=num_verts)
     t = rng.rand(num_verts, 1).astype(np.float32)
     a = rest[seg_j]
@@ -593,13 +634,19 @@ def synthetic_model(num_verts: int = 1024, num_betas: int = 10,
     w = np.exp(-d2 / (2 * 0.05 ** 2))
     w /= w.sum(axis=1, keepdims=True) + 1e-12
     if sparse_weights:
-        # top-4 joints per vertex, renormalized (the real artifact's
-        # structure: all other entries are exactly 0)
+        # kinematic locality first (the real artifact's structure):
+        # candidate joints within 2 tree hops of the generating bone's
+        # joint or its parent; then top-4 by distance, renormalized —
+        # all other entries are exactly 0
+        hops = _tree_hops(parents)
+        local = ((hops[seg_j] <= 2)
+                 | (hops[parents[seg_j]] <= 2))          # [V, J]
+        w_m = np.where(local, w, 0.0)
         rows = np.arange(num_verts)[:, None]
-        top = np.argsort(w, axis=1)[:, -4:]
+        top = np.argsort(w_m, axis=1)[:, -4:]
         w_s = np.zeros_like(w)
-        w_s[rows, top] = w[rows, top]
-        w = w_s / w_s.sum(axis=1, keepdims=True)
+        w_s[rows, top] = w_m[rows, top]
+        w = w_s / (w_s.sum(axis=1, keepdims=True) + 1e-12)
 
     # joint regressor: for each joint, weights over its nearest verts
     jreg = np.zeros((NUM_JOINTS, num_verts), dtype=np.float32)

@@ -40,12 +40,51 @@ def load_contact_ids(segments_folder: str,
     return np.concatenate(verts), np.concatenate(faces)
 
 
+# PROX part name -> generating-bone joints of the synthetic model
+# (SMPL-X joint ids; bone j spans joint j -> parent(j)). Matches what
+# the real segment files name: L_Leg = calf+foot surface, thighs =
+# upper legs, butt/gluteus = pelvis ring, back = spine, hands =
+# finger surfaces.
+_PART_BONES = {
+    "L_Leg": (4, 7, 10), "R_Leg": (5, 8, 11),
+    "thighs": (1, 2), "butt": (1, 2), "gluteus": (1, 2),
+    "back": (3, 6, 9),
+    "L_Hand": tuple(range(25, 40)), "R_Hand": tuple(range(40, 55)),
+}
+
+
 def synthetic_segments(num_verts: int, seed: int = 0,
-                       parts: Sequence[str] = ALL_PARTS
+                       parts: Sequence[str] = ALL_PARTS,
+                       coherent: bool = False, model_seed: int = 0
                        ) -> Dict[str, List[int]]:
     """Deterministic fake segment map over a model with num_verts
-    vertices — disjoint id blocks per part, sized like PROX segments
-    (hundreds of verts per leg)."""
+    vertices, sized like PROX segments (hundreds of verts per leg).
+
+    coherent=False (legacy fixtures): random disjoint id blocks per
+    part — structurally WRONG for a real-artifact solve, whose 'L_Leg'
+    names actual leg-surface vertices, but fine for tests that only
+    need some contact set.
+    coherent=True: ids are the synthetic model's vertices generated
+    around that part's bones (_PART_BONES), matching the real segment
+    files' body-part locality — with sparse_weights models this is
+    what lets the clip solver's static FK pruning collapse the contact
+    chain to the leg subtree, as it does on the licensed artifacts.
+    model_seed must equal the synthetic_model seed (bone assignment is
+    shared via smplx.synthetic_vertex_bones)."""
+    if coherent:
+        from fpv4d.models.smplx import synthetic_vertex_bones
+        bones = synthetic_vertex_bones(num_verts, seed=model_seed)
+        rng = np.random.RandomState(seed)
+        out = {}
+        for part in parts:
+            ids = np.where(np.isin(bones, _PART_BONES[part]))[0]
+            # PROX segments are subsets of the part surface; sample
+            # like them (and keep leg sets hundreds-sized at 10k verts)
+            keep = max(8, int(0.7 * len(ids)))
+            if len(ids) > keep:
+                ids = rng.choice(ids, size=keep, replace=False)
+            out[part] = sorted(int(v) for v in ids)
+        return out
     rng = np.random.RandomState(seed)
     per_part = max(8, num_verts // (len(parts) * 3))
     out = {}

@@ -127,9 +127,10 @@ def init_camera_translation(keypoints: jnp.ndarray, rest_joints: jnp.ndarray,
     smplx_ids = BODY25_FROM_SMPLX[TORSO_BODY25]
     torso3d = rest_joints[smplx_ids]
     h3d = jnp.linalg.norm(torso3d.max(0) - torso3d.min(0))
-    torso2d = keypoints[:, TORSO_BODY25, :2]
-    conf = keypoints[:, TORSO_BODY25, 2:3]
-    span = (torso2d * (conf > 0)).max(1) - (torso2d * (conf > 0)).min(1)
+    torso2d = keypoints[..., TORSO_BODY25, :2]
+    conf = keypoints[..., TORSO_BODY25, 2:3]
+    span = ((torso2d * (conf > 0)).max(-2)
+            - (torso2d * (conf > 0)).min(-2))
     h2d = jnp.maximum(jnp.linalg.norm(span, axis=-1), 1.0)
     z = focal * h3d / h2d
     return jnp.stack([jnp.zeros_like(z), jnp.zeros_like(z), z], axis=-1)
@@ -140,7 +141,8 @@ def fit_keypoints(model: SmplxModel, vposer_params: Dict[str, jnp.ndarray],
                   config: KeypointFitConfig = KeypointFitConfig(),
                   hand_left: Optional[np.ndarray] = None,
                   hand_right: Optional[np.ndarray] = None,
-                  face: Optional[np.ndarray] = None
+                  face: Optional[np.ndarray] = None,
+                  mesh=None
                   ) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
     """Fit SMPL-X to OpenPose keypoints for a whole clip at once.
 
@@ -159,18 +161,33 @@ def fit_keypoints(model: SmplxModel, vposer_params: Dict[str, jnp.ndarray],
     are returned in the history dict under 'jaw'/'expression' (the
     75-d canonical layout has no face slots, matching the reference
     pkl contract).
+
+    FLEET SHAPE (r4): keypoints may carry a leading clips axis
+    [C, T, 25, 3] (hands/face likewise [C, T, ...]) — the stage
+    programs are then vmapped over clips, so one compiled Adam/L-BFGS
+    step advances every frame of every clip. Loss normalization and
+    optimizer state stay PER CLIP (vmap lanes), so batched results
+    equal a per-clip loop exactly (modulo f32 summation order;
+    tests/test_keypoint_fit.py). The reference runs this stage one
+    clip at a time for "several hours" (README.md:14-17).
+    mesh: optional jax.sharding.Mesh — shards the clips axis over
+    mesh.axis_names[0] (C divisible by that axis size), turning the
+    vmap into a data-parallel fleet step.
     """
-    T = keypoints.shape[0]
+    batched = keypoints.ndim == 4
+    lead = tuple(keypoints.shape[:-2])       # (T,) or (C, T)
+    T = lead[-1]
     keypoints = jnp.asarray(keypoints, dtype=jnp.float32)
-    # fold hand keypoints into one [T, 25+15+15, 3] target array with
-    # per-joint smplx ids; missing hands contribute zero confidence
+    # fold hand keypoints into one [*lead, 25+15+15, 3] target array
+    # with per-joint smplx ids; missing hands contribute zero
+    # confidence
     hand_targets = []
     hand_ids = []
     for kp_h, ids in ((hand_left, LHAND_SMPLX),
                       (hand_right, RHAND_SMPLX)):
         if kp_h is not None:
             hand_targets.append(np.asarray(kp_h, np.float32)
-                                [:, _HAND21_SLOTS])
+                                [..., _HAND21_SLOTS, :])
             hand_ids.append(ids)
     center = jnp.asarray([config.image_size[0] / 2.0,
                           config.image_size[1] / 2.0], dtype=jnp.float32)
@@ -184,7 +201,7 @@ def fit_keypoints(model: SmplxModel, vposer_params: Dict[str, jnp.ndarray],
     torso_np *= w_np
     kp_all = np.asarray(keypoints)
     if hand_targets:
-        kp_all = np.concatenate([kp_all] + hand_targets, axis=1)
+        kp_all = np.concatenate([kp_all] + hand_targets, axis=-2)
         ids_np = np.concatenate([ids_np] + hand_ids)
         n_hand = sum(len(i) for i in hand_ids)
         w_np = np.concatenate([w_np, np.ones(n_hand, np.float32)])
@@ -206,9 +223,10 @@ def fit_keypoints(model: SmplxModel, vposer_params: Dict[str, jnp.ndarray],
     use_face = lmk is not None
     if use_face:
         lmk_vids, lmk_tri, lmk_bary = lmk
-        face_kp = jnp.asarray(np.asarray(face, np.float32)[:, 17:68])
+        face_kp = jnp.asarray(
+            np.asarray(face, np.float32)[..., 17:68, :])
     else:
-        face_kp = jnp.zeros((T, 1, 3), dtype=jnp.float32)
+        face_kp = jnp.zeros(lead + (1, 3), dtype=jnp.float32)
     # the reprojection loss reads ONLY the 55 joints unless face
     # landmarks are fitted (joints regress from the composed
     # j_regressor tables, not the skinned mesh) — restrict skinning to
@@ -222,14 +240,14 @@ def fit_keypoints(model: SmplxModel, vposer_params: Dict[str, jnp.ndarray],
     cam_t0 = init_camera_translation(keypoints, rest["joints"][0], focal)
 
     vars0 = FitVars(
-        global_orient=jnp.zeros((T, 3)),
+        global_orient=jnp.zeros(lead + (3,)),
         camera_translation=cam_t0,
-        betas=jnp.zeros((T, model.num_betas)),
-        latent=jnp.zeros((T, 32)),
-        left_hand=jnp.zeros((T, model.num_pca)),
-        right_hand=jnp.zeros((T, model.num_pca)),
-        jaw=jnp.zeros((T, 3)),
-        expression=jnp.zeros((T, model.num_expr)),
+        betas=jnp.zeros(lead + (model.num_betas,)),
+        latent=jnp.zeros(lead + (32,)),
+        left_hand=jnp.zeros(lead + (model.num_pca,)),
+        right_hand=jnp.zeros(lead + (model.num_pca,)),
+        jaw=jnp.zeros(lead + (3,)),
+        expression=jnp.zeros(lead + (model.num_expr,)),
     )
 
     def reproj_loss(model, vposer_params, kp, face_kp, v: FitVars,
@@ -280,7 +298,6 @@ def fit_keypoints(model: SmplxModel, vposer_params: Dict[str, jnp.ndarray],
     # prune per-stage backwards) was measured a net loss: three
     # per-call retraces cost far more than the pruned backward saved
     # (bench keypoint fit 239 -> 125 frames/s).
-    @jax.jit
     def run_stage(model, vposer_params, kp, face_kp, v, opt_state,
                   joint_w, face_w, mask):
         def step(carry, _):
@@ -317,7 +334,6 @@ def fit_keypoints(model: SmplxModel, vposer_params: Dict[str, jnp.ndarray],
         linesearch=optax.scale_by_backtracking_linesearch(
             max_backtracking_steps=15, store_grad=True))
 
-    @jax.jit
     def run_stage_lbfgs_joint(model, vposer_params, kp, face_kp, v,
                               joint_w, face_w, mask):
         def loss_fn(p):
@@ -340,7 +356,6 @@ def fit_keypoints(model: SmplxModel, vposer_params: Dict[str, jnp.ndarray],
                                  length=config.num_iter)
         return p, h
 
-    @jax.jit
     def run_stage_lbfgs_perframe(model, vposer_params, kp, face_kp, v,
                                  joint_w, face_w, mask):
         def fit_one(v_t, kp_t, fk_t):
@@ -369,8 +384,38 @@ def fit_keypoints(model: SmplxModel, vposer_params: Dict[str, jnp.ndarray],
         v_out, h = jax.vmap(fit_one)(v, kp, face_kp)
         return v_out, jnp.mean(h, axis=0)
 
+    # batched (fleet) form: vmap each stage program over the clips
+    # axis — per-clip loss normalization / optimizer state / history,
+    # one compiled program advancing C*T frame problems per step
+    if batched:
+        run_stage = jax.jit(jax.vmap(
+            run_stage, in_axes=(None, None, 0, 0, 0, 0, None, None,
+                                None)))
+        lb_axes = (None, None, 0, 0, 0, None, None, None)
+        run_stage_lbfgs_joint = jax.jit(jax.vmap(
+            run_stage_lbfgs_joint, in_axes=lb_axes))
+        run_stage_lbfgs_perframe = jax.jit(jax.vmap(
+            run_stage_lbfgs_perframe, in_axes=lb_axes))
+    else:
+        run_stage = jax.jit(run_stage)
+        run_stage_lbfgs_joint = jax.jit(run_stage_lbfgs_joint)
+        run_stage_lbfgs_perframe = jax.jit(run_stage_lbfgs_perframe)
+
     v = vars0
-    opt_state = opt.init(v)
+    # vmapped init when batched so EVERY optimizer-state leaf (incl.
+    # adam's step count) carries the clips axis the vmapped stage
+    # expects
+    opt_state = jax.vmap(opt.init)(v) if batched else opt.init(v)
+    if batched and mesh is not None:
+        # data-parallel fleet: shard the clips axis; jit propagates
+        # the sharding through the scan (clips never interact)
+        from jax.sharding import NamedSharding, PartitionSpec
+        s = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        put = lambda x: jax.device_put(x, s)  # noqa: E731
+        keypoints = put(keypoints)
+        face_kp = put(face_kp)
+        v = jax.tree.map(put, v)
+        opt_state = jax.tree.map(put, opt_state)
     hist = {}
     schedule = [
         ("camera", torso_only, 0.0, _stage_mask(camera=True)),
@@ -400,7 +445,7 @@ def fit_keypoints(model: SmplxModel, vposer_params: Dict[str, jnp.ndarray],
         hist[name] = np.asarray(h)
 
     out = jnp.concatenate([
-        jnp.zeros((T, 3)),                 # transl (camera holds offset)
+        jnp.zeros(lead + (3,)),            # transl (camera holds offset)
         v.global_orient, v.betas, v.latent, v.left_hand, v.right_hand,
         v.camera_translation], axis=-1)
     hist["jaw"] = np.asarray(v.jaw)

@@ -62,8 +62,9 @@ def cached_synthetic_model(num_verts: int, cache_dir: str, seed: int = 0):
     from fpv4d.models import smplx as jsmplx
 
     os.makedirs(cache_dir, exist_ok=True)
-    # new cache name: stale dense-model caches must not serve r4+ runs
-    path = os.path.join(cache_dir, f"synthmodel_{num_verts}_sw.npz")
+    # new cache name: stale dense/non-local caches must not serve r4+
+    # runs
+    path = os.path.join(cache_dir, f"synthmodel_{num_verts}_swl.npz")
     if os.path.exists(path):
         data = np.load(path)
         return jsmplx.SmplxModel(
@@ -98,7 +99,11 @@ def standard_problem(T: int = 900, num_verts: int = 10475,
     scene = np.stack([xs.ravel(), -1.0 + 0.05 * rng.randn(g * g),
                       zs.ravel()], 1).astype(np.float32)
 
-    segs = contact.synthetic_segments(num_verts, seed=0)
+    # coherent=True: L_Leg/R_Leg are actual leg-surface vertex sets
+    # like the real PROX segments (r4 re-baseline, same decision as
+    # sparse_weights above — the old random-id sets made the contact
+    # forward touch all 55 joints, which no real-artifact solve does)
+    segs = contact.synthetic_segments(num_verts, seed=0, coherent=True)
     vids_l = np.asarray(segs["L_Leg"], np.int32)
     vids_r = np.asarray(segs["R_Leg"], np.int32)
 

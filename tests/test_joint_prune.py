@@ -198,3 +198,35 @@ def test_joints_reading_phase_unaffected():
         assert np.all(np.isfinite(h_on[k])), k
         np.testing.assert_allclose(h_on[k], h_off[k], rtol=2e-4,
                                    atol=1e-5, err_msg=k)
+
+
+def test_coherent_segments_collapse_to_leg_subtree():
+    """Part-coherent synthetic segments + kinematically-local sparse
+    weights must reproduce the real-artifact structure: the L/R leg
+    contact set's joint support is the pelvis->feet subtree (~10 of
+    55 joints, FK depth 5), never the finger chains. Bone assignment
+    consistency between model and segments is pinned here too."""
+    m = jsmplx.synthetic_model(num_verts=512, seed=0,
+                               sparse_weights=True)
+    segs = contact.synthetic_segments(512, seed=0, coherent=True)
+    vids = np.concatenate([np.asarray(segs["L_Leg"], np.int32),
+                           np.asarray(segs["R_Leg"], np.int32)])
+    assert len(vids) >= 16
+    sup = m.joint_support(vids)
+    assert sup is not None
+    kept = set(int(j) for j in sup[0])
+    legs = {0, 1, 2, 3, 4, 5, 7, 8, 10, 11}
+    assert kept <= legs | {6, 9}         # never arms/fingers/head
+    # depth of the pruned chain is the leg subtree's (5), not 11
+    def depth(j):
+        d = 0
+        while PARENTS[j] >= 0:
+            j = PARENTS[j]
+            d += 1
+        return d
+    assert max(depth(j) for j in kept) <= 5
+
+    # bone-assignment consistency contract of synthetic_vertex_bones
+    bones = jsmplx.synthetic_vertex_bones(512, seed=0)
+    legs_b = np.isin(bones, (4, 7, 10, 5, 8, 11))
+    assert np.all(legs_b[vids])

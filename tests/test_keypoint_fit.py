@@ -259,3 +259,53 @@ def test_fit_lbfgs_recovers_truth(setup):
                                           setup["kp"], cfg_pf)
     assert np.all(np.isfinite(params_pf))
     assert mpjpe(params_pf) < 0.010
+
+
+def test_fit_batched_clips_matches_loop(setup):
+    """FLEET SHAPE (r4): a [C, T] clips-batched fit must equal the
+    per-clip loop exactly — loss normalization, optimizer state and
+    history are per vmap lane — modulo f32 summation order. Covers
+    the multi-clip pipeline-step-3 path (the reference runs smplifyx
+    one clip at a time, README.md:14-17)."""
+    import dataclasses
+    model, vp = setup["model"], setup["vp"]
+    cfg = dataclasses.replace(setup["cfg"], num_iter=15)
+    kp0 = np.asarray(setup["kp"], np.float32)          # [T,25,3]
+    rng = np.random.RandomState(9)
+    kp1 = kp0.copy()
+    kp1[..., :2] += rng.randn(*kp1[..., :2].shape).astype(np.float32) * 3.0
+    kp_b = np.stack([kp0, kp1])                        # [2,T,25,3]
+    p_b, h_b = KF.fit_keypoints(model, vp, kp_b, cfg)
+    assert p_b.shape == (2, kp0.shape[0], 75)
+    for c, kp in enumerate([kp0, kp1]):
+        p_s, h_s = KF.fit_keypoints(model, vp, kp, cfg)
+        np.testing.assert_allclose(p_b[c], p_s, atol=2e-5, rtol=1e-4)
+        for k in ("camera", "body", "all"):
+            np.testing.assert_allclose(h_b[k][c], h_s[k],
+                                       rtol=1e-4, atol=1e-6,
+                                       err_msg=f"clip {c} stage {k}")
+
+
+def test_fit_batched_lbfgs_and_sharded(setup):
+    """Batched clips under the joint L-BFGS optimizer, and the
+    mesh-sharded (data-parallel fleet) form of the Adam path — both
+    must be finite and, for the sharded run, equal the unsharded
+    batched run."""
+    import dataclasses
+    import jax
+    from jax.sharding import Mesh
+    model, vp = setup["model"], setup["vp"]
+    kp0 = np.asarray(setup["kp"], np.float32)
+    kp_b = np.stack([kp0] * 4)                         # [4,T,25,3]
+
+    cfg_l = dataclasses.replace(setup["cfg"], optimizer="lbfgs",
+                                num_iter=10)
+    p_l, h_l = KF.fit_keypoints(model, vp, kp_b, cfg_l)
+    assert p_l.shape == (4, kp0.shape[0], 75)
+    assert np.all(np.isfinite(p_l))
+
+    cfg = dataclasses.replace(setup["cfg"], num_iter=10)
+    p_ref, _ = KF.fit_keypoints(model, vp, kp_b, cfg)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("clips",))
+    p_sh, _ = KF.fit_keypoints(model, vp, kp_b, cfg, mesh=mesh)
+    np.testing.assert_allclose(p_sh, p_ref, atol=2e-5, rtol=1e-4)

@@ -79,7 +79,10 @@ def test_standard_problem_workload_pinned(tmp_path):
     assert h(p.body) == "3ca019024c851030"
     assert h(p.cam) == "cd76c4d9cea0a67c"
     assert h(p.scene) == "4ebb183e999b9490"
-    assert h(np.asarray(p.model.lbs_weights)) == "7684d4a154a0976e"
-    # the bench model must genuinely engage the FK pruning (sparse
-    # weights) — this is what the r4 headline measures
+    assert h(np.asarray(p.model.lbs_weights)) == "1ca3ed9280e9da4a"
+    # the bench model must genuinely engage the FK pruning the way a
+    # real-artifact solve does (sparse kinematically-local weights +
+    # part-coherent leg contact sets): the contact chain collapses to
+    # the leg subtree — this is what the r4 headline measures
     assert p.solver._contact_prune is not None
+    assert len(p.solver._contact_prune[0]) <= 14
