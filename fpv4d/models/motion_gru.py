@@ -34,6 +34,10 @@ def _gru_params(rng, in_dim: int, h_dim: int, prefix: str, dtype):
         out[f"{prefix}_w_h{gate}"] = jnp.asarray(
             rng.uniform(-s, s, (h_dim, h_dim)), dtype=dtype)
         out[f"{prefix}_b_{gate}"] = jnp.zeros(h_dim, dtype=dtype)
+    # the n gate keeps its hidden bias separate: torch applies the
+    # reset gate to (W_hn h + b_hn), so b_hn cannot be folded with
+    # b_in (tests/test_converters.py's torch.nn.GRU oracle)
+    out[f"{prefix}_b_hn"] = jnp.zeros(h_dim, dtype=dtype)
     return out
 
 
@@ -53,8 +57,12 @@ def _gru_cell(p, prefix: str, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
                        + p[f"{prefix}_b_r"])
     z = jax.nn.sigmoid(x @ p[f"{prefix}_w_iz"] + h @ p[f"{prefix}_w_hz"]
                        + p[f"{prefix}_b_z"])
-    n = jnp.tanh(x @ p[f"{prefix}_w_in"] + (r * h) @ p[f"{prefix}_w_hn"]
-                 + p[f"{prefix}_b_n"])
+    # torch convention: the reset gate multiplies the WHOLE hidden
+    # contribution INCLUDING its bias — n = tanh(W_in x + b_in
+    # + r * (W_hn h + b_hn)); b_hn must stay un-folded
+    # (tests/test_converters.py oracle vs torch.nn.GRU)
+    n = jnp.tanh(x @ p[f"{prefix}_w_in"] + p[f"{prefix}_b_n"]
+                 + r * (h @ p[f"{prefix}_w_hn"] + p[f"{prefix}_b_hn"]))
     return (1.0 - z) * n + z * h
 
 
@@ -117,13 +125,22 @@ def params_from_torch_state_dict(sd) -> Dict[str, jnp.ndarray]:
         b_ih = arr(sd.get(f"{tname}.bias_ih_l0", 0))
         b_hh = arr(sd.get(f"{tname}.bias_hh_l0", 0))
         H = w_hh.shape[1]
+        b_ih = np.broadcast_to(b_ih, (3 * H,))
+        b_hh = np.broadcast_to(b_hh, (3 * H,))
         for i, gate in enumerate(("r", "z", "n")):
             out[f"{prefix}_w_i{gate}"] = jnp.asarray(
                 w_ih[i * H:(i + 1) * H].T)
             out[f"{prefix}_w_h{gate}"] = jnp.asarray(
                 w_hh[i * H:(i + 1) * H].T)
-            out[f"{prefix}_b_{gate}"] = jnp.asarray(
-                b_ih[i * H:(i + 1) * H] + b_hh[i * H:(i + 1) * H])
+            if gate == "n":
+                # torch gates n as r*(W_hn h + b_hn): keep the two
+                # biases separate (folding them is measurably wrong —
+                # caught by the torch.nn.GRU oracle test)
+                out[f"{prefix}_b_n"] = jnp.asarray(b_ih[2 * H:3 * H])
+                out[f"{prefix}_b_hn"] = jnp.asarray(b_hh[2 * H:3 * H])
+            else:
+                out[f"{prefix}_b_{gate}"] = jnp.asarray(
+                    b_ih[i * H:(i + 1) * H] + b_hh[i * H:(i + 1) * H])
     out["out_w"] = jnp.asarray(arr(sd["out.weight"]).T)
     out["out_b"] = jnp.asarray(arr(sd["out.bias"]))
     return out
