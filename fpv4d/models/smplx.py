@@ -164,9 +164,13 @@ class SmplxModel:
         reference semantics automatically). joint_subset is the
         ancestor-closed set of joints with nonzero LBS weight over the
         subset; pose_joint_subset the joints whose pose-blendshape
-        rows are nonzero over the subset's columns. Pruning only drops
-        terms that are EXACTLY zero — results differ from the full
-        model by f32 summation order only (tested to 1e-6,
+        rows are nonzero over the subset's columns — or None when ALL
+        rows are nonzero (dense learned posedirs, the real artifact's
+        structure): an identity permutation-gather there measures
+        +2.6 ms/step over the plain slice at bench shapes (r4 probe),
+        so the no-op prune must stay OFF the gather path. Pruning only
+        drops terms that are EXACTLY zero — results differ from the
+        full model by f32 summation order only (tested to 1e-6,
         tests/test_joint_prune.py)."""
         sub = np.asarray(vertex_subset)
         w_nz = np.asarray(jnp.max(
@@ -182,10 +186,11 @@ class SmplxModel:
             self.posedirs[:, cols]).reshape(NUM_JOINTS - 1, -1),
             axis=1)) > 0
         pose_joints = (1 + np.where(pd_nz)[0]).astype(np.int32)
-        if (len(kept) == NUM_JOINTS
-                and len(pose_joints) == NUM_JOINTS - 1):
+        pose_sub = (pose_joints if len(pose_joints) < NUM_JOINTS - 1
+                    else None)
+        if len(kept) == NUM_JOINTS and pose_sub is None:
             return None
-        return kept, pose_joints
+        return kept, pose_sub
 
     # -- forward -------------------------------------------------------------
     def hand_pose_aa(self, coeffs: jnp.ndarray, side: str) -> jnp.ndarray:
