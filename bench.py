@@ -371,6 +371,27 @@ def main():
         print(f"[bench] keypoint fit: {T} frames x "
               f"{3 * kcfg.num_iter} steps in {dt_fit:.2f}s -> "
               f"{T / dt_fit:.0f} frames/s per chip", file=sys.stderr)
+
+        # fleet shape of the same stage: C clips batched through one
+        # vmapped program (pipeline step 3 at deployment scale; the
+        # reference runs this serially per clip, README.md:14-17)
+        C_kp = 2 if small else 8
+        kp_b = np.broadcast_to(kp, (C_kp,) + kp.shape).copy()
+        # de-correlate clips so no lane is trivially converged
+        kp_b[..., :2] += rng.randn(*kp_b[..., :2].shape).astype(
+            np.float32)
+        fit_keypoints(model, vp, kp_b, kcfg)    # compile
+        t0 = time.perf_counter()
+        fit_keypoints(model, vp, kp_b, kcfg)
+        dt_b = time.perf_counter() - t0
+        fps_b = C_kp * T / dt_b
+        extras["keypoint_fleet"] = {
+            "clips": C_kp, "frames_per_s_per_chip": round(fps_b, 1),
+            "per_clip_vs_single": round(dt_b / (C_kp * dt_fit), 3)}
+        print(f"[bench] keypoint fleet: {C_kp} clips x {T} frames in "
+              f"{dt_b:.2f}s -> {fps_b:.0f} frames/s per chip "
+              f"({dt_b / (C_kp * dt_fit):.2f}x per-clip vs single)",
+              file=sys.stderr)
     except Exception as e:
         print(f"[bench] keypoint-fit secondary metric skipped: {e}",
               file=sys.stderr)
@@ -555,6 +576,8 @@ def main():
             "phase_ms_per_step": {k: _phase_ms(k)
                                   for k in extras["phases"]},
             "keypoint_fit_fps": extras.get("keypoint_fit_fps"),
+            "keypoint_fleet_fps": extras.get(
+                "keypoint_fleet", {}).get("frames_per_s_per_chip"),
             "fleet_clips_per_hour_per_chip": extras.get(
                 "multi_clip", {}).get("clips_per_hour_per_chip"),
             "fleet_per_clip_vs_single": extras.get(
