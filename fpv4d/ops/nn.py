@@ -348,6 +348,51 @@ def frame_candidates(grid: VoxelGrid, q: jnp.ndarray,
     return FrameCands(cand=cand, valid=valid)
 
 
+from jax import custom_batching as _custom_batching  # noqa: E402
+
+
+def _flatten_clips_vmap_rule(core):
+    """custom_vmap rule folding a mapped clips axis into the frame
+    axis: the per-frame candidate NN is frame-independent, so
+    vmap(nn)([C,T,...]) computes EXACTLY nn([C*T,...]) — but the
+    batched lowering of the one-hot selection einsums (two batch dims)
+    measured 4.56 ms/step/clip against the flat form's 1.89 at fleet
+    shapes (tools/ablate_fleet.py, r4): the extra batch dim forces
+    layout copies around the batched dots. Flattening restores the
+    single-clip lowering for every vmapped caller (the multi-clip
+    fleet, sharded phase programs). `core` returns a tuple of
+    per-frame arrays; the rule is attached to the shared forward cores
+    (the public functions stay plain custom_vjp so direct grad works —
+    custom_vmap has no reverse-mode rule of its own)."""
+    def rule(axis_size, in_batched, q, cands):
+        q_b, cands_b = in_batched
+        if not q_b:
+            q = jnp.broadcast_to(q, (axis_size,) + q.shape)
+        cands = jax.tree.map(
+            lambda x, b: x if b else jnp.broadcast_to(
+                x, (axis_size,) + x.shape), cands, cands_b)
+        T = q.shape[1]
+        qf = q.reshape((-1,) + q.shape[2:])
+        candsf = jax.tree.map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), cands)
+        outs = core(qf, candsf)
+        outs = tuple(o.reshape((axis_size, T) + o.shape[1:])
+                     for o in outs)
+        return outs, tuple(True for _ in outs)
+    return rule
+
+
+def _cand_core(q, cands):
+    """(distance, winner coords) — the shared fwd work of the f32
+    candidate NN (primal + custom_vjp fwd)."""
+    d, slot = _cand_forward(q, cands)
+    return d, _select_nearest(slot, cands.cand)
+
+
+_cand_flat = _custom_batching.custom_vmap(_cand_core)
+_cand_flat.def_vmap(_flatten_clips_vmap_rule(_cand_core))
+
+
 @jax.custom_vjp
 def nn_to_candidates(q: jnp.ndarray, cands: FrameCands) -> jnp.ndarray:
     """q [T, N, 3] vs per-frame candidates -> squared NN distance
@@ -357,9 +402,10 @@ def nn_to_candidates(q: jnp.ndarray, cands: FrameCands) -> jnp.ndarray:
     over [T, N, P] with NO gathers or sorts; the VJP extracts the
     winning candidate's coordinates with a one-hot MXU matmul instead
     of a per-query gather (the gather would cost more than the whole
-    distance computation at clip scale).
+    distance computation at clip scale). Under vmap the clips axis
+    folds into the frame axis (_flatten_clips_vmap_rule).
     """
-    d, _ = _cand_forward(q, cands)
+    d, _ = _cand_flat(q, cands)
     return d
 
 
@@ -468,8 +514,7 @@ def _select_nearest(slot: jnp.ndarray, cand: jnp.ndarray
 
 
 def _cand_fwd(q, cands):
-    d, slot = _cand_forward(q, cands)
-    nearest = _select_nearest(slot, cands.cand)
+    d, nearest = _cand_flat(q, cands)
     return d, (q, nearest, d < BIG)
 
 
@@ -483,13 +528,17 @@ def _cand_bwd(res, g):
 nn_to_candidates.defvjp(_cand_fwd, _cand_bwd)
 
 
+_cand16_flat = None  # assigned below, after _cand16_full is defined
+
+
 @jax.custom_vjp
 def nn_to_candidates_bf16(q: jnp.ndarray, cands: FrameCands
                           ) -> jnp.ndarray:
     """nn_to_candidates with the selection pass in bf16 (see
     _cand_forward_bf16): same [T, N] output contract, exact f32
-    distance at the (possibly near-tie-drifted) winner."""
-    d, _ = _cand16_full(q, cands)
+    distance at the (possibly near-tie-drifted) winner. Under vmap the
+    clips axis folds into the frame axis (_flatten_clips_vmap_rule)."""
+    d, _ = _cand16_flat(q, cands)
     return d
 
 
@@ -506,8 +555,12 @@ def _cand16_full(q, cands):
     return jnp.where(hit, d, BIG), nearest
 
 
+_cand16_flat = _custom_batching.custom_vmap(_cand16_full)
+_cand16_flat.def_vmap(_flatten_clips_vmap_rule(_cand16_full))
+
+
 def _cand16_fwd(q, cands):
-    d, nearest = _cand16_full(q, cands)
+    d, nearest = _cand16_flat(q, cands)
     # live = hit AND unsaturated: d == BIG both on miss and when the
     # exact recompute saturates at BIG, and in both cases the forward
     # output is the constant BIG, so the VJP must vanish (matching
