@@ -563,30 +563,49 @@ class ClipSolver:
         queries (threaded through ctx.grid; _nn dispatches on type).
         sdf_lin: optional SDF.SdfLin — activates the linearized
         collision term for the chunk (threaded through ctx.sdf_lin)."""
+        # local_a and global_a share ONE compiled program: identical
+        # term set and gradient mask, differing only by the contact
+        # multiplier — which rides through as a TRACED scalar, so the
+        # expensive a-phase executable is compiled (and prewarmed,
+        # and shipped through the tunnel) once instead of twice
+        # (VERDICT r3 ask #5: compiled-program budget / cold start).
+        contact_a = phase in ("local_a", "global_a")
+        key_name = "contact_a" if contact_a else phase
         # key extends only when a SDF linearization rides along, so
         # plain lookups by (phase, steps) — e.g. bench.py's 1-step
         # roofline compile — keep working
-        key = ((phase, num_steps) if sdf_lin is None
-               else (phase, num_steps, "sdf"))
-        if key not in self._compiled:
-            mask = self.phase_mask(phase)
-            # dispatch on the phase NAME: the specialized runner
-            # hardcodes the dct_a loss recipe, so a future phase that
-            # merely shares the dct-only gradient mask must not be
-            # routed here
-            if phase == "dct_a":
+        key = ((key_name, num_steps) if sdf_lin is None
+               else (key_name, num_steps, "sdf"))
+        mult = jnp.float32(
+            self.config.local_contact_mult if phase == "local_a"
+            else self.config.global_contact_mult)
+        # dispatch on the phase NAME: the specialized runner hardcodes
+        # the dct_a loss recipe (and a 5-arg signature — no traced
+        # contact multiplier), so it is compiled AND called here, on
+        # cache hits too
+        if phase == "dct_a":
+            run = self._compiled.get(key)
+            if run is None:
                 run = self._make_dct_only_phase(num_steps)
                 self._compiled[key] = run
-                return run(self.ctx if cands is None else
-                           self.ctx._replace(grid=cands), state,
-                           opt_state, target_6d, frame_weights)
+            return run(self.ctx if cands is None else
+                       self.ctx._replace(grid=cands), state,
+                       opt_state, target_6d, frame_weights)
+        if key not in self._compiled:
+            mask = self.phase_mask(phase)
 
             @jax.jit
-            def run(ctx, state, opt_state, target_6d, frame_weights):
+            def run(ctx, state, opt_state, target_6d, frame_weights,
+                    contact_mult):
                 def loss_fn(state):
-                    return self.phase_loss(
-                        phase, mask_stop_gradient(state, mask),
-                        target_6d, frame_weights, ctx)
+                    st = mask_stop_gradient(state, mask)
+                    if contact_a:
+                        t = self.terms(st, target_6d, frame_weights,
+                                       ctx, prune=self._contact_prune)
+                        return (t.contact * contact_mult + t.smooth
+                                + t.rec + t.collision)
+                    return self.phase_loss(phase, st, target_6d,
+                                           frame_weights, ctx)
 
                 def step(carry, _):
                     state, opt_state = carry
@@ -608,7 +627,7 @@ class ClipSolver:
         if sdf_lin is not None:
             ctx = ctx._replace(sdf_lin=sdf_lin)
         return self._compiled[key](ctx, state, opt_state, target_6d,
-                                   frame_weights)
+                                   frame_weights, mult)
 
     def _make_dct_only_phase(self, num_steps: int):
         """Specialized runner for phases that optimize ONLY c_dct

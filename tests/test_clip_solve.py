@@ -317,3 +317,51 @@ def test_phase_step_body_matches_run_phase(solver, scenario):
     np.testing.assert_allclose(np.asarray(st_b.c_dct),
                                np.asarray(st_ref.c_dct), atol=1e-7)
     np.testing.assert_allclose(float(loss), float(h[0]), rtol=1e-6)
+
+
+def test_contact_a_shared_program(solver, scenario):
+    """local_a and global_a compile ONE shared executable (key
+    'contact_a'; the contact multiplier rides through as a traced
+    scalar — compiled-program-budget cut), and each phase's scanned
+    losses match a manual masked value_and_grad on its phase_loss.
+    Also: dct_a's 5-arg specialized runner must survive a cache HIT
+    (it takes no contact-multiplier argument)."""
+    import optax
+    from fpv4d.solve.clip_solve import mask_stop_gradient
+
+    state, target, w = solver.init_state(scenario["body"],
+                                         scenario["camera_ext"])
+    opt_state = solver._opt.init(state)
+    st_l, _, h_l = solver._run_phase(state, opt_state, target, w, 4,
+                                     "local_a")
+    st_g, _, h_g = solver._run_phase(state, opt_state, target, w, 4,
+                                     "global_a")
+    a_keys = [k for k in solver._compiled
+              if k[0] in ("local_a", "global_a", "contact_a")
+              and len(k) == 2 and k[1] == 4]
+    assert a_keys == [("contact_a", 4)]
+    # the multipliers differ (0.2 vs 0.5), so the trajectories must
+    assert not np.allclose(np.asarray(h_l), np.asarray(h_g))
+
+    for phase, st_s, h_s in (("local_a", st_l, h_l),
+                             ("global_a", st_g, h_g)):
+        mask = solver.phase_mask(phase)
+        st_r, opt_r = state, opt_state
+        h_r = []
+        for _ in range(4):
+            def loss_fn(st):
+                return solver.phase_loss(
+                    phase, mask_stop_gradient(st, mask), target, w)
+            loss, grads = jax.value_and_grad(loss_fn)(st_r)
+            grads = jax.tree.map(lambda g, m: g * m, grads, mask)
+            updates, opt_r = solver._opt.update(grads, opt_r, st_r)
+            st_r = optax.apply_updates(st_r, updates)
+            h_r.append(float(loss))
+        np.testing.assert_allclose(np.asarray(h_s), np.asarray(h_r),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(st_s.body_6d),
+                                   np.asarray(st_r.body_6d), atol=1e-5)
+
+    # dct_a cache hit: same (phase, steps) twice, no signature error
+    solver._run_phase(state, opt_state, target, w, 4, "dct_a")
+    solver._run_phase(state, opt_state, target, w, 4, "dct_a")

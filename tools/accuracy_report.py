@@ -29,13 +29,17 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 def run(frames: int = 30, num_verts: int = 512, noise_px: float = 2.0,
         body_noise: float = 0.05, iters: int = 120,
-        optimizer: str = "adam", deep_iters: int = 0) -> dict:
+        optimizer: str = "adam", deep_iters: int = 0,
+        clip_iters: int = 60, rec_weight: float = 1.0,
+        skip_keypoint: bool = False) -> dict:
     """optimizer may be a single name or 'both' (adam + the
     production-quality joint-batch L-BFGS — VERDICT r3 asked for the
     L-BFGS result in the round artifact beside Adam, so an L-BFGS
     numerics regression breaks the artifact too). deep_iters > 0 adds
     a clip-solve row at a deeper schedule (the accuracy-vs-time
-    frontier probe)."""
+    frontier probe). clip_iters/rec_weight parameterize the clip
+    solve for the accuracy-vs-time/weights sweep (--sweep);
+    skip_keypoint drops stage 1 (sweep rows only move stage 2)."""
     class args:
         pass
     args.frames, args.num_verts = frames, num_verts
@@ -93,7 +97,7 @@ def run(frames: int = 30, num_verts: int = 512, noise_px: float = 2.0,
                           (T, 1, 1))], -1).astype(np.float32)
 
     kp_results = {}
-    for opt_name in optimizers:
+    for opt_name in ([] if skip_keypoint else optimizers):
         kcfg = KeypointFitConfig(num_iter=args.iters, optimizer=opt_name)
         params, hist = fit_keypoints(model, vp, jnp.asarray(kp), kcfg)
         d = P.split(jnp.asarray(params))
@@ -115,8 +119,11 @@ def run(frames: int = 30, num_verts: int = 512, noise_px: float = 2.0,
         print(f"[accuracy] keypoint fit ({opt_name}): 3D MPJPE "
               f"{mpjpe_3d * 1000:.1f} mm, 2D reproj {reproj_px:.2f} px "
               f"(obs noise {args.noise_px} px)", file=sys.stderr)
-    mpjpe_3d = kp_results[optimizers[0]]["mpjpe_mm"] / 1000.0
-    reproj_px = kp_results[optimizers[0]]["reproj_px"]
+    if skip_keypoint:
+        mpjpe_3d, reproj_px = float("nan"), float("nan")
+    else:
+        mpjpe_3d = kp_results[optimizers[0]]["mpjpe_mm"] / 1000.0
+        reproj_px = kp_results[optimizers[0]]["reproj_px"]
 
     # ---- 2. clip solve pulls a noisy init toward the truth ------------------
     body_gt = np.concatenate(
@@ -141,12 +148,15 @@ def run(frames: int = 30, num_verts: int = 512, noise_px: float = 2.0,
     vl = np.asarray(segs["L_Leg"], np.int32)
     vr = np.asarray(segs["R_Leg"], np.int32)
     window = 6 if T % 6 == 0 else T
+    from fpv4d.config import LossWeights
     solver = ClipSolver(model=model, vposer_params=vp,
                         scene_verts=scene,
                         contact_vids=np.concatenate([vl, vr]),
                         contact_vids_left=vl, contact_vids_right=vr,
-                        config=ClipConfig(num_iter=60, window=window,
-                                          dct_num=3))
+                        config=ClipConfig(
+                            num_iter=clip_iters, window=window,
+                            dct_num=3,
+                            weights=LossWeights(rec=rec_weight)))
     cam = np.tile(np.eye(4, dtype=np.float32), (T, 1, 1))
 
     # metric: camera-space joints at unit scale, directly from the
@@ -228,6 +238,8 @@ def run(frames: int = 30, num_verts: int = 512, noise_px: float = 2.0,
         "jitter_mm_solved": round(jit_solved * 1000, 3),
         "clip_solve_mpjpe_mm_before": round(err_before * 1000, 2),
         "clip_solve_mpjpe_mm_after": round(err_after * 1000, 2),
+        "clip_iters": clip_iters,
+        "rec_weight": rec_weight,
     }
     if deep is not None:
         out["clip_solve_deep"] = deep
@@ -247,7 +259,29 @@ def main():
                     choices=["adam", "lbfgs", "lbfgs_perframe", "both"])
     ap.add_argument("--deep-iters", type=int, default=0,
                     help="extra clip-solve row at this num_iter")
+    ap.add_argument("--sweep", action="store_true",
+                    help="accuracy-vs-time/weights frontier: clip "
+                         "solve only, over iters x rec-weight")
     a = ap.parse_args()
+    if a.sweep:
+        rows = []
+        for it in (60, 180, 400):
+            for rec in (1.0, 0.5, 0.25):
+                r = run(a.frames, a.num_verts, a.noise_px,
+                        a.body_noise, a.iters, clip_iters=it,
+                        rec_weight=rec, skip_keypoint=True)
+                rows.append({k: r[k] for k in
+                             ("clip_iters", "rec_weight",
+                              "clip_solve_mpjpe_mm_before",
+                              "clip_solve_mpjpe_mm_after",
+                              "jitter_mm_solved")})
+                print(f"[sweep] iters={it} rec={rec}: "
+                      f"{r['clip_solve_mpjpe_mm_before']} -> "
+                      f"{r['clip_solve_mpjpe_mm_after']} mm "
+                      f"(jitter {r['jitter_mm_solved']})",
+                      file=sys.stderr)
+        print(json.dumps({"sweep": rows}))
+        return
     print(json.dumps(run(a.frames, a.num_verts, a.noise_px,
                          a.body_noise, a.iters, a.optimizer,
                          a.deep_iters)))

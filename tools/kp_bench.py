@@ -51,13 +51,15 @@ def main():
         -1).astype(np.float32)
     kp = jnp.asarray(kp)
 
-    # lbfgs here is the joint-batch variant (scan-speed); the
-    # per-frame vmapped variant measured 5.2 frames/s at T=900 on TPU
-    # (vmapped zoom-linesearch while_loops) and is excluded from the
-    # default sweep.
+    # lbfgs = joint-batch variant (scan-speed); lbfgs_perframe = the
+    # vmapped per-frame variant, r4: bounded BACKTRACKING linesearch
+    # (the r3 zoom form ran every vmapped while_loop to the slowest
+    # lane — 5.2 frames/s at T=900 on TPU; VERDICT asked for >= 50 or
+    # a config guard).
     res = {"frames": T, "backend": jax.default_backend()}
     for name, iters in (("adam", kcfg.num_iter),
-                        ("lbfgs", 15 if small else 60)):
+                        ("lbfgs", 15 if small else 60),
+                        ("lbfgs_perframe", 10 if small else 40)):
         cfg = KeypointFitConfig(num_iter=iters, optimizer=name)
         fit_keypoints(model, vp, kp, cfg)         # compile
         t0 = time.perf_counter()
