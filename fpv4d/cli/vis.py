@@ -5,10 +5,13 @@
   ego local      -> local_vis.py      (scale-aware overlay + joints)
   world          -> global_vis.py     (fixed first-frame viewpoint)
   world --follow -> interactive_vis.py camera-following mode
+  interactive    -> interactive_vis.py live windowed event loop
+                    (headless rebuild: browser-driven HTTP viewer)
   pack           -> pack_videosoutputs.py
 
     python -m fpv4d.cli.vis ego FITTING_DIR [--source smoothed|baseline|local]
     python -m fpv4d.cli.vis world FITTING_DIR --scene scene.ply --out render0
+    python -m fpv4d.cli.vis interactive FITTING_DIR --scene scene.ply --port 8089
     python -m fpv4d.cli.vis pack VIS_DIR [--out out.mp4]
 """
 from __future__ import annotations
@@ -43,6 +46,17 @@ def build_parser() -> argparse.ArgumentParser:
     world.add_argument("--model", default="./models")
     world.add_argument("--vposer", default="./vposer")
     world.add_argument("--limit", type=int, default=None)
+
+    ia = sub.add_parser("interactive",
+                        help="live viewer (HTTP event loop — the "
+                             "windowed interactive_vis.py, headless)")
+    ia.add_argument("fitting_dir")
+    ia.add_argument("--scene", required=True)
+    ia.add_argument("--port", type=int, default=8089)
+    ia.add_argument("--host", default="127.0.0.1")
+    ia.add_argument("--model", default="./models")
+    ia.add_argument("--vposer", default="./vposer")
+    ia.add_argument("--limit", type=int, default=None)
 
     pack = sub.add_parser("pack", help="frames -> video")
     pack.add_argument("vis_dir")
@@ -82,6 +96,24 @@ def main(argv=None) -> int:
                        orbit_turns=args.orbit_turns, limit=args.limit)
         print(f"[fpv4d.vis] rendered {n} world frames to {args.out}",
               file=sys.stderr)
+        return 0
+
+    if args.cmd == "interactive":
+        from fpv4d.vis.interactive import InteractiveViewer, make_server
+        scene = common.load_scene(args.scene)
+        viewer = InteractiveViewer(args.fitting_dir, model, vp, scene,
+                                   limit=args.limit)
+        srv = make_server(viewer, port=args.port, host=args.host)
+        print(f"[fpv4d.vis] interactive viewer: "
+              f"http://{args.host}:{srv.server_address[1]}/ "
+              f"({viewer.num_frames} frames; ctrl-c to stop)",
+              file=sys.stderr)
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            srv.server_close()
         return 0
     return 1
 

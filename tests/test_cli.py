@@ -193,3 +193,60 @@ def test_cli_multiopt(clip_dir, tmp_path):
     for name in ("clipA", "clipB"):
         pkls = list((tmp_path / "out" / name).glob("*.pkl"))
         assert len(pkls) == 3
+
+
+def test_interactive_viewer_http(clip_dir, tmp_path):
+    """The live viewer (reference interactive_vis.py:86-206 event
+    loop, rebuilt as an HTTP server for headless use): index page,
+    meta, and frames in all three camera modes render over HTTP;
+    repeated requests hit the render memo; bad paths 404."""
+    import threading
+    import urllib.request
+    from fpv4d.cli.globalopt import main as gmain
+    fit = tmp_path / "fit"
+    assert gmain([str(clip_dir / "body_gen"), str(fit), "global",
+                  "--scene", str(clip_dir / "scene.ply"),
+                  "--iters", "2", "--model", "NONE",
+                  "--vposer", "NONE"]) == 0
+
+    from fpv4d.cli import common
+    from fpv4d.vis.interactive import InteractiveViewer, make_server
+    model = common.load_model("NONE")
+    vp = common.load_vposer("NONE")
+    scene = common.load_scene(str(clip_dir / "scene.ply"))
+    viewer = InteractiveViewer(str(fit), model, vp, scene, limit=2)
+    srv = make_server(viewer, port=0)       # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        html = urllib.request.urlopen(base + "/").read()
+        assert b"fpv4d" in html
+        meta = json.loads(urllib.request.urlopen(
+            base + "/meta").read())
+        assert meta["num_frames"] == 2
+        from PIL import Image
+        import io as _io
+        for q in ("i=0&mode=fixed", "i=1&mode=follow",
+                  "i=1&mode=orbit&azim=0.7&elev=0.4&zoom=1.5"):
+            png = urllib.request.urlopen(
+                base + "/frame?" + q).read()
+            assert png[:8] == b"\x89PNG\r\n\x1a\n"
+            arr = np.asarray(Image.open(_io.BytesIO(png))).astype(float)
+            # follow is exempt from the non-black check: this tiny
+            # fixture's frame-1 camera legitimately looks away from
+            # the 300-point cloud
+            if "follow" not in q:
+                assert (arr.sum(-1) > 0).mean() > 0.005, q
+        # memoized second hit returns identical bytes
+        p1 = urllib.request.urlopen(base + "/frame?i=0&mode=fixed").read()
+        assert p1 == urllib.request.urlopen(
+            base + "/frame?i=0&mode=fixed").read()
+        assert len(viewer._cache) == 3   # memo hit added no entry
+        import urllib.error
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(base + "/nope")
+        assert ei.value.code == 404
+    finally:
+        srv.shutdown()
+        srv.server_close()
