@@ -86,3 +86,17 @@ def test_standard_problem_workload_pinned(tmp_path):
     # the leg subtree — this is what the r4 headline measures
     assert p.solver._contact_prune is not None
     assert len(p.solver._contact_prune[0]) <= 14
+
+
+@pytest.mark.slow
+def test_hbm_probe_small_reports_boundary():
+    """hbm_probe --small exercises the grow-then-bisect loop on tiny
+    shapes (everything fits on CPU, so the probe must cleanly report
+    max C == tmax with no failing point)."""
+    r = _run(["tools/hbm_probe.py"], {"FPV4D_BENCH_SMALL": "1"},
+             timeout=900)
+    assert r.returncode == 0, r.stderr[-500:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["max_clips_per_chip"] == 4
+    assert out["first_failing_c"] is None
+    assert out["points"]["2"]["fits"] and out["points"]["4"]["fits"]
