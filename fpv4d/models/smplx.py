@@ -188,9 +188,14 @@ class SmplxModel:
         pose_joints = (1 + np.where(pd_nz)[0]).astype(np.int32)
         pose_sub = (pose_joints if len(pose_joints) < NUM_JOINTS - 1
                     else None)
-        if len(kept) == NUM_JOINTS and pose_sub is None:
+        # the same no-op-gather rule applies to the JOINT half: dense
+        # weights keep all 55 joints, and an identity kept-gather in
+        # the FK branch costs like the pose one — degrade each half to
+        # None independently, prune only what genuinely shrinks
+        joint_sub = kept if len(kept) < NUM_JOINTS else None
+        if joint_sub is None and pose_sub is None:
             return None
-        return kept, pose_sub
+        return joint_sub, pose_sub
 
     # -- forward -------------------------------------------------------------
     def hand_pose_aa(self, coeffs: jnp.ndarray, side: str) -> jnp.ndarray:

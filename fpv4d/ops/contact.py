@@ -84,6 +84,19 @@ def synthetic_segments(num_verts: int, seed: int = 0,
             if len(ids) > keep:
                 ids = rng.choice(ids, size=keep, replace=False)
             out[part] = sorted(int(v) for v in ids)
+        # parts generated from the SAME bone set (thighs/butt/gluteus
+        # all ride the pelvis ring) would otherwise overlap ~70%,
+        # double-weighting vertices for any caller that concatenates
+        # parts — real PROX segments are disjoint surfaces. Dedup in
+        # `parts` order AFTER sampling (a post-pass keeps the rng
+        # stream, and therefore every other part's ids, unchanged).
+        taken: Dict[tuple, set] = {}
+        for part in parts:
+            key = _PART_BONES[part]
+            seen = taken.setdefault(key, set())
+            uniq = [v for v in out[part] if v not in seen]
+            out[part] = uniq if uniq else out[part][:8]
+            seen.update(out[part])
         return out
     rng = np.random.RandomState(seed)
     per_part = max(8, num_verts // (len(parts) * 3))

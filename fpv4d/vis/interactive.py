@@ -64,6 +64,7 @@ function tick(){ if(busy) return; busy=true;
     scrub.value=i;
     if(playing){ i=(i+1)%N; if(mode=="orbit") az+=2*Math.PI/N; }
   }).catch(()=>{busy=false;});
+  az%=2*Math.PI;   // keep orbit keys periodic so replays hit the memo
 }
 setInterval(()=>{ if(playing||img.src=="") tick(); }, 120);
 document.addEventListener("keydown",e=>{
@@ -118,7 +119,12 @@ class InteractiveViewer:
             centers - self.center, axis=1).max()))
         self.trajectory = np.asarray(
             [WV.camera_center(c) for c in self.cams], np.float32)
-        self._cache: Dict[tuple, bytes] = {}
+        # LRU-bounded render memo: a long-open viewer with drag/zoom
+        # interaction generates unboundedly many camera keys, and this
+        # server may run for hours — cap the PNG cache
+        from collections import OrderedDict
+        self._cache: "OrderedDict[tuple, bytes]" = OrderedDict()
+        self._cache_cap = 512
         self._lock = threading.Lock()
 
     @property
@@ -133,8 +139,9 @@ class InteractiveViewer:
                round(float(zoom), 3))
         with self._lock:
             png = self._cache.get(key)
-        if png is not None:
-            return png
+            if png is not None:
+                self._cache.move_to_end(key)
+                return png
         if mode == "fixed":
             view = self.cams[0]
         elif mode == "follow":
@@ -154,6 +161,9 @@ class InteractiveViewer:
         png = buf.getvalue()
         with self._lock:
             self._cache[key] = png
+            self._cache.move_to_end(key)
+            while len(self._cache) > self._cache_cap:
+                self._cache.popitem(last=False)
         return png
 
 

@@ -60,32 +60,14 @@ def main():
     prod_before = fk.rigid_transform_prod
     custom_rt = fk.rigid_transform
 
+    from tools.ablate_common import adam_scan, steady_ms
+
     def timed_scan(name, loss_fn, init_carry, extra_args):
-        opt = optax.adam(1e-3)
-
-        @jax.jit
-        def run(carry_args):
-            carry, args = carry_args
-
-            def step(c, _):
-                p, st = c
-                l, g = jax.value_and_grad(loss_fn)(p, *args)
-                u, st = opt.update(g, st, p)
-                return (optax.apply_updates(p, u), st), l
-
-            (p, st), h = jax.lax.scan(step, carry, None, length=steps)
-            return h
-
-        args = (init_carry, extra_args)
-        h = run(args)
-        _ = float(np.asarray(h)[-1])
-        t0 = time.perf_counter()
-        h = run(args)
-        final = float(np.asarray(h)[-1])
-        ms = (time.perf_counter() - t0) / steps * 1e3
-        print(f"[ablate_fk] {name:16s} {ms:7.3f} ms/step "
-              f"(final {final:.6f})", file=sys.stderr)
-        return ms, final
+        # init_carry is the full (params, opt_state) pair; the opt
+        # state the caller builds with adam(1e-3) matches adam_scan's
+        run, _ = adam_scan(loss_fn, steps)
+        return steady_ms(run, (init_carry, extra_args), steps,
+                         tag="ablate_fk", label=f"{name:16s}")
 
     def model_loss(st_, ctx_):
         verts_w, joints_w, _ = forward_world(

@@ -50,6 +50,17 @@ def main():
         scene_pts=1024 if small else 100_489,
         num_iter=20 if small else 500)
     solver = prob.solver
+    if solver.nn_impl != "grid":
+        # this tool measures the production lazy-candidate path; off
+        # TPU the solver defaults to 'xla' (no voxel grid), so force
+        # grid mode for the CPU smoke run
+        from fpv4d.solve.clip_solve import ClipSolver
+        solver = ClipSolver(
+            model=solver.model, vposer_params=solver.vposer_params,
+            scene_verts=prob.scene, contact_vids=solver.contact_vids,
+            contact_vids_left=solver.contact_vids_left,
+            contact_vids_right=solver.contact_vids_right,
+            config=solver.config, nn_impl="grid")
     state, target, weights = solver.init_state(
         jnp.asarray(prob.body), jnp.asarray(prob.cam))
     cands = solver._refresh_cands(state)
@@ -73,54 +84,39 @@ def main():
     refresh_b = mc._get_refresh((C, T, scene_b.shape[1], True), grid_b)
     cands_b = refresh_b(state_b, scene_b, grid=grid_b)
 
+    from tools.ablate_common import adam_scan, steady_ms
+
     def timed(name, run, args, per_clip_div):
-        h = run(args)
-        _ = float(np.asarray(h).ravel()[-1])
-        best = 1e9
-        for _r in range(2):
-            t0 = time.perf_counter()
-            h = run(args)
-            _ = float(np.asarray(h).ravel()[-1])
-            best = min(best, (time.perf_counter() - t0) / steps * 1e3)
-        print(f"[fleet] {name:22s} {best / per_clip_div:7.3f} "
-              f"ms/step/clip", file=sys.stderr)
-        return best / per_clip_div
+        ms, _ = steady_ms(run, args, steps, repeats=2, tag="fleet",
+                          label=f"{name:22s}", per_div=per_clip_div,
+                          unit="ms/step/clip")
+        return ms
 
-    def scan_of(loss_fn):
-        opt = optax.adam(1e-3)
-
-        @jax.jit
-        def run(carry_args):
-            carry, args = carry_args
-
-            def step(c, _):
-                p, st = c
-                l, g = jax.value_and_grad(loss_fn)(p, *args)
-                u, st = opt.update(g, st, p)
-                return (optax.apply_updates(p, u), st), l
-
-            (p, st), h = jax.lax.scan(step, carry, None, length=steps)
-            return h
-
-        return run, opt
+    scan_of = lambda loss_fn: adam_scan(loss_fn, steps)  # noqa: E731
 
     results = {}
 
+    # the model tables / scenes / candidate grids ride through the
+    # jitted scans as ARGUMENTS (the `args` half of carry_args), never
+    # as closure captures — closure-captured big arrays become HLO
+    # literals and multiply compile time (CLAUDE.md; Ctx pattern of
+    # fpv4d/solve/clip_solve.py)
+
     # ---- full production step --------------------------------------
-    def full_1(st_, tgt, wts):
-        t = solver.terms(mask_stop_gradient(st_, mask), tgt, wts, ctx1,
+    def full_1(st_, tgt, wts, ctx):
+        t = solver.terms(mask_stop_gradient(st_, mask), tgt, wts, ctx,
                          prune=solver._contact_prune)
         return t.contact * mult + t.smooth + t.rec + t.collision
 
     run, opt = scan_of(full_1)
     results["full_single"] = timed("full single", run,
                                    ((state, opt.init(state)),
-                                    (target, weights)), 1)
+                                    (target, weights, ctx1)), 1)
 
-    def full_b(st_b, tgt_b, wts_b, cands_bb):
+    def full_b(st_b, tgt_b, wts_b, cands_bb, ctx_base, scene1):
         def per_clip(st_, tgt, wts, cand_c):
-            ctx = Ctx(model=ctx1.model, vposer=ctx1.vposer,
-                      scene=scene_b[0], grid=cand_c)
+            ctx = Ctx(model=ctx_base.model, vposer=ctx_base.vposer,
+                      scene=scene1, grid=cand_c)
             t = solver.terms(mask_stop_gradient(st_, mask), tgt, wts,
                              ctx, prune=solver._contact_prune)
             return t.contact * mult + t.smooth + t.rec + t.collision
@@ -131,23 +127,24 @@ def main():
     run, opt = scan_of(full_b)
     results["full_batched"] = timed(
         "full batched", run,
-        ((state_b, opt.init(state_b)), (target_b, weights_b, cands_b)),
-        C)
+        ((state_b, opt.init(state_b)),
+         (target_b, weights_b, cands_b, ctx1, scene_b[0])), C)
 
     # ---- model chain only -------------------------------------------
-    def model_1(st_):
-        v, _, _ = forward_world(ctx1, mask_stop_gradient(st_, mask),
+    def model_1(st_, ctx):
+        v, _, _ = forward_world(ctx, mask_stop_gradient(st_, mask),
                                 vertex_subset=solver.contact_vids,
                                 prune=solver._contact_prune)
         return jnp.sum(v * 1e-6)
 
     run, opt = scan_of(model_1)
     results["model_single"] = timed("model single", run,
-                                    ((state, opt.init(state)), ()), 1)
+                                    ((state, opt.init(state)),
+                                     (ctx1,)), 1)
 
-    def model_b(st_b):
+    def model_b(st_b, ctx):
         def per_clip(st_):
-            v, _, _ = forward_world(ctx1, mask_stop_gradient(st_, mask),
+            v, _, _ = forward_world(ctx, mask_stop_gradient(st_, mask),
                                     vertex_subset=solver.contact_vids,
                                     prune=solver._contact_prune)
             return jnp.sum(v * 1e-6)
@@ -155,7 +152,8 @@ def main():
 
     run, opt = scan_of(model_b)
     results["model_batched"] = timed(
-        "model batched", run, ((state_b, opt.init(state_b)), ()), C)
+        "model batched", run, ((state_b, opt.init(state_b)), (ctx1,)),
+        C)
 
     # ---- candidate-NN only (free vertex variables) -------------------
     nv = len(solver.contact_vids)
@@ -163,20 +161,20 @@ def main():
                                  vertex_subset=solver.contact_vids,
                                  prune=solver._contact_prune)
 
-    def nn_1(v, cand):
-        d = solver._nn(v, ctx1.scene, cand)
+    def nn_1(v, cand, scene1):
+        d = solver._nn(v, scene1, cand)
         return losses.robust_contact(d)
 
     run, opt = scan_of(nn_1)
     results["nn_single"] = timed("nn single", run,
                                  ((verts0, opt.init(verts0)),
-                                  (cands,)), 1)
+                                  (cands, ctx1.scene)), 1)
 
     verts0_b = jnp.broadcast_to(verts0, (C,) + verts0.shape)
 
-    def nn_b(v_b, cands_bb):
+    def nn_b(v_b, cands_bb, scene1):
         def per_clip(v, cand):
-            d = solver._nn(v, ctx1.scene, cand)
+            d = solver._nn(v, scene1, cand)
             return losses.robust_contact(d)
         cand_ax = jax.tree.map(lambda _: 0, cands_bb)
         return jnp.sum(jax.vmap(per_clip, in_axes=(0, cand_ax))(
@@ -185,7 +183,7 @@ def main():
     run, opt = scan_of(nn_b)
     results["nn_batched"] = timed(
         "nn batched", run,
-        ((verts0_b, opt.init(verts0_b)), (cands_b,)), C)
+        ((verts0_b, opt.init(verts0_b)), (cands_b, ctx1.scene)), C)
 
     # ---- refresh cost, amortized -------------------------------------
     for name, fn, args, div in (

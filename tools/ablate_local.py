@@ -58,32 +58,15 @@ def main():
     mask = solver.phase_mask("local_a")
     cfg = solver.config
 
+    from tools.ablate_common import adam_scan, steady_ms
+
     def timed_scan(name, loss_fn, init_carry, extra_args):
-        """Scan `steps` of grad+Adam on loss_fn, print ms/step."""
-        opt = optax.adam(1e-3)
-
-        @jax.jit
-        def run(carry_args):
-            carry, args = carry_args
-
-            def step(c, _):
-                p, st = c
-                l, g = jax.value_and_grad(loss_fn)(p, *args)
-                u, st = opt.update(g, st, p)
-                return (optax.apply_updates(p, u), st), l
-
-            (p, st), h = jax.lax.scan(step, carry, None, length=steps)
-            return h
-
-        args = (init_carry, extra_args)
-        h = run(args)
-        _ = float(np.asarray(h)[-1])
-        t0 = time.perf_counter()
-        h = run(args)
-        _ = float(np.asarray(h)[-1])
-        ms = (time.perf_counter() - t0) / steps * 1e3
-        print(f"[ablate] {name:14s} {ms:7.3f} ms/step "
-              f"(final {float(np.asarray(h)[-1]):.5f})", file=sys.stderr)
+        """Scan `steps` of grad+Adam on loss_fn, print ms/step
+        (shared harness — init_carry is the full (params, opt_state)
+        pair built with adam(1e-3), matching adam_scan's)."""
+        run, _ = adam_scan(loss_fn, steps)
+        ms, _final = steady_ms(run, (init_carry, extra_args), steps,
+                               tag="ablate", label=f"{name:14s}")
         return ms
 
     results = {}

@@ -64,31 +64,13 @@ def main():
         ctx = solver.ctx
     mask = solver.phase_mask("local_a")
 
+    from tools.ablate_common import adam_scan, steady_ms
+
     def timed_scan(name, loss_fn, extra):
-        opt = optax.adam(1e-3)
-
-        @jax.jit
-        def run(carry_args):
-            carry, args = carry_args
-
-            def step(c, _):
-                p, st = c
-                l, g = jax.value_and_grad(loss_fn)(p, *args)
-                u, st = opt.update(g, st, p)
-                return (optax.apply_updates(p, u), st), l
-
-            (p, st), h = jax.lax.scan(step, carry, None, length=steps)
-            return h
-
-        args = ((state, opt.init(state)), extra)
-        h = run(args)
-        _ = float(np.asarray(h)[-1])
-        t0 = time.perf_counter()
-        h = run(args)
-        _ = float(np.asarray(h)[-1])
-        ms = (time.perf_counter() - t0) / steps * 1e3
-        print(f"[ablate_prune] {name:18s} {ms:7.3f} ms/step",
-              file=sys.stderr)
+        run, opt = adam_scan(loss_fn, steps)
+        ms, _ = steady_ms(run, ((state, opt.init(state)), extra),
+                          steps, tag="ablate_prune",
+                          label=f"{name:18s}")
         return ms
 
     results = {}

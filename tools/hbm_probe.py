@@ -93,11 +93,11 @@ def main():
             C = min(2 * C, a.tmax) if hi is None else (lo + hi) // 2
         else:
             hi = C if hi is None else min(hi, C)
-            C = (lo + hi) // 2
+            C = (lo + hi) // 2                # bisects DOWN from
+        if C < 1 or C in results:             # --start too when the
+            break                             # first point fails;
         if hi is not None and hi - lo <= max(1, lo // 8):
             break                             # boundary bracketed
-        if lo == 0 and not ok:
-            break                             # even the start fails
 
     out = {"max_clips_per_chip": lo,
            "first_failing_c": hi,
