@@ -62,21 +62,42 @@ def encode(p: Dict[str, jnp.ndarray], x_body: jnp.ndarray,
 
 
 def decode(p: Dict[str, jnp.ndarray], z: jnp.ndarray,
-           z_s: jnp.ndarray) -> jnp.ndarray:
-    """(latent [B,64], scene [B,128]) -> body [B,72] (cvae.py:153-171)."""
+           z_s: jnp.ndarray, dropout_ratio: float = 0.0,
+           rng: jnp.ndarray | None = None) -> jnp.ndarray:
+    """(latent [B,64], scene [B,128]) -> body [B,72] (cvae.py:153-171).
+
+    dropout_ratio > 0 applies inverted dropout after the first two
+    decoder layers exactly where the reference's nn.Dropout sits
+    (cvae.py:160-166; train-mode only there, and dead in its pipeline
+    — the class is never constructed with dropout > 0). Functional
+    form: pass an explicit `rng` key; with rng=None the knob is
+    inference-mode (identity), matching torch eval() semantics."""
     h = jnp.concatenate([z, z_s], axis=-1)
-    h = swish(h @ p["dec_fc1_w"] + p["dec_fc1_b"])
-    h = swish(h @ p["dec_fc2_w"] + p["dec_fc2_b"]) + h
+
+    def drop(x, key):
+        if dropout_ratio <= 0.0 or key is None:
+            return x
+        keep = 1.0 - dropout_ratio
+        m = jax.random.bernoulli(key, keep, x.shape)
+        return jnp.where(m, x / keep, 0.0)
+
+    k1 = k2 = None
+    if rng is not None:
+        k1, k2 = jax.random.split(rng)
+    h = drop(swish(h @ p["dec_fc1_w"] + p["dec_fc1_b"]), k1)
+    h = drop(swish(h @ p["dec_fc2_w"] + p["dec_fc2_b"]) + h, k2)
     return h @ p["dec_fc3_w"] + p["dec_fc3_b"]
 
 
 def forward(p: Dict[str, jnp.ndarray], x_body: jnp.ndarray,
-            eps: jnp.ndarray, z_s: jnp.ndarray
+            eps: jnp.ndarray, z_s: jnp.ndarray,
+            dropout_ratio: float = 0.0,
+            rng: jnp.ndarray | None = None
             ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Reparameterized autoencode (cvae.py:174-186)."""
     mu, logsigma2 = encode(p, x_body, z_s)
     z = eps * jnp.exp(logsigma2 / 2.0) + mu
-    return decode(p, z, z_s), mu, logsigma2
+    return decode(p, z, z_s, dropout_ratio, rng), mu, logsigma2
 
 
 def kl_loss(mu: jnp.ndarray, logsigma2: jnp.ndarray) -> jnp.ndarray:

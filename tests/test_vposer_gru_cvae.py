@@ -125,3 +125,33 @@ def test_cvae_trains_one_step():
         upd, state = opt.update(g, state)
         p = optax.apply_updates(p, upd)
     assert float(loss_fn(p)) < float(l0)
+
+
+def test_cvae_decoder_dropout():
+    """The reference's dropout_ratio knob (cvae.py:105-127,160-166):
+    identity without an rng key (eval semantics) and at ratio 0;
+    train-mode dropout zeroes units and rescales survivors (inverted
+    dropout keeps the expectation), and randomizes with the key."""
+    p = cvae.random_params(seed=1)
+    rng = np.random.RandomState(5)
+    z = jnp.asarray(rng.randn(8, 64), dtype=jnp.float32)
+    zs = jnp.asarray(rng.randn(8, 128), dtype=jnp.float32)
+    base = cvae.decode(p, z, zs)
+    # no key -> identity regardless of the ratio (torch eval())
+    np.testing.assert_allclose(
+        np.asarray(cvae.decode(p, z, zs, dropout_ratio=0.5)),
+        np.asarray(base))
+    # ratio 0 with a key -> identity too
+    key = jax.random.PRNGKey(0)
+    np.testing.assert_allclose(
+        np.asarray(cvae.decode(p, z, zs, 0.0, key)), np.asarray(base))
+    # train mode: output differs, and differs per key
+    d1 = cvae.decode(p, z, zs, 0.5, key)
+    d2 = cvae.decode(p, z, zs, 0.5, jax.random.PRNGKey(1))
+    assert not np.allclose(np.asarray(d1), np.asarray(base))
+    assert not np.allclose(np.asarray(d1), np.asarray(d2))
+    # forward threads the knob through
+    eps = jnp.zeros((8, 64))
+    x = jnp.asarray(rng.randn(8, 72), dtype=jnp.float32)
+    rec, _, _ = cvae.forward(p, x, eps, zs, 0.5, key)
+    assert rec.shape == (8, 72)
