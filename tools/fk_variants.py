@@ -141,35 +141,18 @@ def main():
 
     results = {}
     for name, f in variants.items():
-        def loss(rot, joints, f=f):
+        from tools.ablate_common import adam_scan, steady_ms
+
+        def loss(params, cp_, cr_, f=f):
+            rot, joints = params
             p, r = f(rot, joints)
-            return jnp.sum(p * cp) * 1e-3 + jnp.sum(r * cr) * 1e-3
+            return jnp.sum(p * cp_) * 1e-3 + jnp.sum(r * cr_) * 1e-3
 
-        opt = optax.adam(1e-4)
-
-        @jax.jit
-        def run(carry):
-            def step(c, _):
-                (rot, joints), st = c
-                l, g = jax.value_and_grad(loss, argnums=(0, 1))(
-                    rot, joints)
-                u, st = opt.update(g, st, (rot, joints))
-                p = optax.apply_updates((rot, joints), u)
-                return (p, st), l
-
-            (_, _), h = jax.lax.scan(step, carry, None, length=steps)
-            return h
-
+        run, opt = adam_scan(loss, steps, lr=1e-4)
         carry = ((rot0, joints0), opt.init((rot0, joints0)))
-        h = run(carry)
-        _ = float(np.asarray(h)[-1])
-        t0 = time.perf_counter()
-        h = run(carry)
-        final = float(np.asarray(h)[-1])
-        ms = (time.perf_counter() - t0) / steps * 1e3
+        ms, final = steady_ms(run, (carry, (cp, cr)), steps,
+                              tag="fk_variants", label=f"{name:12s}")
         results[name] = round(ms, 3)
-        print(f"[fk_variants] {name:12s} {ms:7.3f} ms/step "
-              f"(final {final:.6f})", file=sys.stderr)
 
     print(json.dumps(results))
 
