@@ -396,6 +396,21 @@ def main():
         print(f"[bench] keypoint-fit secondary metric skipped: {e}",
               file=sys.stderr)
 
+    # fold the most recent per-optimizer keypoint sweep (tools/
+    # kp_bench.py: adam vs joint-batch L-BFGS vs per-frame L-BFGS at
+    # T=900) into the round artifact — the sweep is too compile-heavy
+    # to rerun inside bench, so kp_bench persists its record
+    try:
+        kp_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "kp_bench_out.json")
+        if os.path.exists(kp_path):
+            with open(kp_path) as f:
+                extras["keypoint_optimizers"] = json.load(f)
+    except Exception as e:
+        print(f"[bench] kp_bench record fold-in skipped: {e}",
+              file=sys.stderr)
+
     # Pallas brute-NN kernel, compiled on this backend, vs the XLA
     # brute path — correctness + timing each round so Mosaic
     # regressions can't ship silently (VERDICT r1)
@@ -578,6 +593,11 @@ def main():
             "keypoint_fit_fps": extras.get("keypoint_fit_fps"),
             "keypoint_fleet_fps": extras.get(
                 "keypoint_fleet", {}).get("frames_per_s_per_chip"),
+            "keypoint_optimizer_fps": {
+                k: v.get("frames_per_s")
+                for k, v in extras.get("keypoint_optimizers",
+                                       {}).items()
+                if isinstance(v, dict)} or None,
             "fleet_clips_per_hour_per_chip": extras.get(
                 "multi_clip", {}).get("clips_per_hour_per_chip"),
             "fleet_per_clip_vs_single": extras.get(

@@ -71,6 +71,16 @@ def main():
                      "final_all_loss": round(float(hist["all"][-1]), 4)}
         print(f"[kp_bench] {name}: {dt:.2f}s ({T / dt:.0f} frames/s, "
               f"final {hist['all'][-1]:.4f})", file=sys.stderr)
+    # persist beside bench_out.json: bench.py folds the latest TPU
+    # record into its extras (the per-optimizer sweep is too
+    # compile-heavy to rerun inside every bench invocation)
+    if not small:
+        out_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "kp_bench_out.json")
+        with open(out_path, "w") as f:
+            json.dump(res, f, indent=1)
+        print(f"[kp_bench] -> {out_path}", file=sys.stderr)
     print(json.dumps(res))
 
 
