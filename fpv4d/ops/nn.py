@@ -213,14 +213,22 @@ def build_voxel_grid_batch(scenes, h: float = 0.25,
     idx = np.full((C, num_cells, K), -1, np.int32)
     origins = np.zeros((C, 3), np.float32)
     for c, g in enumerate(built):
-        # re-scatter the per-clip table into the common-dims layout
+        # re-scatter the per-clip table into the common-dims layout,
+        # EDGE-replicating into the padding: the query path clamps
+        # cells against the COMMON dims, so a query past this clip's
+        # own bbox must land on a copy of its edge cell — exactly the
+        # single-clip grid's clamp semantics. Zero-padding instead
+        # gave such queries an empty cell (distance BIG, zero
+        # gradient), silently diverging fleet solves from single-clip
+        # ones for bodies near a smaller clip's scene boundary.
         gd = g.dims
+        pad = tuple((0, dims[a] - gd[a]) for a in range(3))
         src_pts = np.asarray(g.cand_pts).reshape(gd + (K, 3))
         src_idx = np.asarray(g.cand_idx).reshape(gd + (K,))
-        dst_pts = pts[c].reshape(dims + (K, 3))
-        dst_idx = idx[c].reshape(dims + (K,))
-        dst_pts[:gd[0], :gd[1], :gd[2]] = src_pts
-        dst_idx[:gd[0], :gd[1], :gd[2]] = src_idx
+        pts[c] = np.pad(src_pts, pad + ((0, 0), (0, 0)),
+                        mode="edge").reshape(num_cells, K, 3)
+        idx[c] = np.pad(src_idx, pad + ((0, 0),),
+                        mode="edge").reshape(num_cells, K)
         origins[c] = np.asarray(g.origin)
     return VoxelGrid(cand_pts=jnp.asarray(pts), cand_idx=jnp.asarray(idx),
                      origin=jnp.asarray(origins), dims=dims, h=h_common)

@@ -47,11 +47,18 @@ def maybe_initialize_distributed(coordinator_address: Optional[str] = None,
     helpers below are agnostic to that.
     """
     import os
-    if jax.process_count() > 1:
-        return True                      # already initialized
     if coordinator_address is None \
             and os.environ.get("FPV4D_DISTRIBUTED") != "1":
         return False
+    # already-initialized check via the distributed client handle.
+    # NEVER probe jax.process_count()/jax.devices() here: enumerating
+    # devices initializes the local backend, after which
+    # jax.distributed.initialize() unconditionally raises ("must be
+    # called before any JAX device operations") — the guard itself
+    # would make every multi-host launch crash at init.
+    from jax._src import distributed as _jdist
+    if getattr(_jdist.global_state, "client", None) is not None:
+        return True                      # already initialized
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes, process_id=process_id)
@@ -156,8 +163,6 @@ def build_sharded_step(solver: ClipSolver, mesh: Mesh, phase: str = "local_a",
       step_fn(state, opt_state, target, weights, scene[, weight_right])
           -> (state', opt_state', loss_hist [num_steps, C])
     """
-    from fpv4d.ops import nn as NN
-
     sh = clip_batch_shardings(mesh, clip_axis, frame_axis,
                               dct_windows=dct_windows)
     opt = solver._opt
@@ -283,8 +288,14 @@ def build_sharded_step(solver: ClipSolver, mesh: Mesh, phase: str = "local_a",
 
             def step_fn(state_b, opt_state, target_b, weights_b,
                         scene_b, extra_b=None, grid=None, sdf_b=None):
-                return jitted(solver.ctx, scene_b,
-                              grid_b if grid is None else grid, sdf_b,
+                if grid is None:
+                    # no silent fallback to the build-time grid_b: a
+                    # closure default would pin that candidate-table
+                    # snapshot (tens of MB of device HBM) for the
+                    # lifetime of the cached step program
+                    raise ValueError(
+                        "grid-mode step_fn requires grid=...")
+                return jitted(solver.ctx, scene_b, grid, sdf_b,
                               state_b, opt_state, target_b, weights_b,
                               zero_extra if extra_b is None else extra_b)
         else:
@@ -303,8 +314,10 @@ def build_sharded_step(solver: ClipSolver, mesh: Mesh, phase: str = "local_a",
 
             def step_fn(state_b, opt_state, target_b, weights_b,
                         scene_b, extra_b=None, grid=None, sdf_b=None):
-                return jitted(solver.ctx, scene_b,
-                              grid_b if grid is None else grid, state_b,
+                if grid is None:
+                    raise ValueError(
+                        "grid-mode step_fn requires grid=...")
+                return jitted(solver.ctx, scene_b, grid, state_b,
                               opt_state, target_b, weights_b,
                               zero_extra if extra_b is None else extra_b)
     else:

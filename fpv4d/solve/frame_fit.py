@@ -140,9 +140,17 @@ def fit_sequential_motion(body_75: jnp.ndarray,
         t6, w_motion = inp
 
         pose_prev = prev_75[a75:b75][None]           # [1, 32]
-        pred, h_enc, h_dec = motion_gru.forward_seq(
+        pred, h_enc_n, h_dec_n = motion_gru.forward_seq(
             gru_params, pose_prev, seq_length=1, h_enc=h_enc,
             h_dec=h_dec)
+        # frame 0 (w_motion=0) makes NO gru step in the reference —
+        # fitting() handles it and the hidden states stay zero until
+        # frame 1 (optimization.py:146-149,251-257). Masking only the
+        # loss would still advance h_enc/h_dec on the UNFITTED target
+        # pose and condition every later prediction on that spurious
+        # step, so the state update is masked too.
+        h_enc = jnp.where(w_motion > 0, h_enc_n, h_enc)
+        h_dec = jnp.where(w_motion > 0, h_dec_n, h_dec)
         pose_pred = jax.lax.stop_gradient(pred[0, :, -1])
 
         def loss_fn(x):
@@ -159,7 +167,10 @@ def fit_sequential_motion(body_75: jnp.ndarray,
     T = target_6d.shape[0]
     w = jnp.ones(T).at[0].set(0.0)
     init_75 = rotations.params_to_3d(target_6d[0][None])[0]
-    h0 = jnp.zeros((1, motion_gru.H_ENC))
     (_, _, _, _), fitted = jax.lax.scan(
-        fit_frame, (init_75, opt_state0, h0, h0), (target_6d, w))
+        fit_frame,
+        (init_75, opt_state0,
+         jnp.zeros((1, motion_gru.H_ENC)),
+         jnp.zeros((1, motion_gru.H_DEC))),
+        (target_6d, w))
     return fitted

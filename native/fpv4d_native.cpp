@@ -64,6 +64,7 @@ bool parse_header(FILE *f, PlyHeader *h) {
   if (!fgets(line, sizeof line, f)) return false;
   if (strncmp(line, "ply", 3) != 0) return false;
   std::string cur_element;
+  bool vertex_seen = false;
   long prop_off = 0;
   int prop_idx = 0;
   while (fgets(line, sizeof line, f)) {
@@ -81,7 +82,17 @@ bool parse_header(FILE *f, PlyHeader *h) {
       if (sscanf(s.c_str(), "element %255s %ld", name, &count) == 2) {
         if (count < 0) return false;
         cur_element = name;
-        if (cur_element == "vertex") h->vertex_count = count;
+        if (cur_element == "vertex") {
+          h->vertex_count = count;
+          vertex_seen = true;
+        } else if (!vertex_seen && count > 0) {
+          // a non-empty element declared BEFORE the vertex element
+          // stores its data first in the file; this reader assumes
+          // vertex records start at end_header, so bail to the
+          // Python fallback instead of silently parsing that
+          // element's bytes as vertices
+          return false;
+        }
         prop_off = 0;
         prop_idx = 0;
       }
@@ -204,6 +215,14 @@ long fpv4d_ply_read_vertices(const char *path, float *out, long max_pts) {
     char line[4096];
     for (long i = 0; i < n; i++) {
       if (!fgets(line, sizeof line, f)) {
+        fclose(f);
+        return i;
+      }
+      if (!strchr(line, '\n') && strlen(line) == sizeof line - 1) {
+        // row longer than the buffer: the remainder would be parsed
+        // as the NEXT row (silent coordinate corruption when its
+        // fields happen to line up numerically) — bail to the
+        // Python fallback instead
         fclose(f);
         return i;
       }
@@ -422,13 +441,28 @@ long fpv4d_cand_grid_plan(const float *pts, long n, double h,
                           long max_cells, float *origin, long *dims,
                           double *h_out) {
   if (n <= 0 || h <= 0) return -1;
+  // untrusted input hardening: a single inf coordinate makes
+  // (long)ceil(...) below undefined behavior, an extreme-but-finite
+  // extent overflows the signed cell product, and a NaN coordinate is
+  // INVISIBLE here (std::min/max drop NaN operands) yet still feeds
+  // the fill phase's cell binning with UB casts — any of them would
+  // index counts[] with garbage (heap corruption, not a catchable
+  // error). Scan every coordinate; reject and let the caller fall
+  // back to the numpy builder.
   float mins[3] = {1e30f, 1e30f, 1e30f};
   float maxs[3] = {-1e30f, -1e30f, -1e30f};
+  bool finite = true;
   for (long i = 0; i < n; i++)
     for (int a = 0; a < 3; a++) {
-      mins[a] = std::min(mins[a], pts[3 * i + a]);
-      maxs[a] = std::max(maxs[a], pts[3 * i + a]);
+      float v = pts[3 * i + a];
+      finite &= std::isfinite(v);
+      mins[a] = std::min(mins[a], v);
+      maxs[a] = std::max(maxs[a], v);
     }
+  if (!finite) return -1;
+  for (int a = 0; a < 3; a++)
+    if ((double)maxs[a] - (double)mins[a] > 1e12)
+      return -1;
   for (int a = 0; a < 3; a++) {
     mins[a] -= h;
     maxs[a] += h;
@@ -441,7 +475,15 @@ long fpv4d_cand_grid_plan(const float *pts, long n, double h,
       // f32 arrays (python-float h stays weak), so exact-multiple
       // extents must round identically here — f64 here could give
       // 40.000000000000007 -> dims 41 where numpy's f32 gives 40
-      d[a] = std::max(1L, (long)std::ceil((maxs[a] - mins[a]) / (float)h));
+      double cells = std::ceil((double)(float)((maxs[a] - mins[a])
+                                               / (float)h));
+      if (!(cells >= 1)) cells = 1;
+      if (cells > 1e15) return -1;      // cast would overflow
+      d[a] = (long)cells;
+      if (prod > max_cells / std::max(1L, d[a]) + 1) {
+        prod = max_cells + 1;           // saturate, no overflow
+        break;
+      }
       prod *= d[a];
     }
     if (prod <= max_cells) break;

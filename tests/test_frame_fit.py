@@ -60,3 +60,52 @@ def test_fit_sequential_motion_runs(noisy_clip):
     out = frame_fit.fit_sequential_motion(noisy_clip, gru, CFG)
     assert out.shape == noisy_clip.shape
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_fit_sequential_motion_frame0_makes_no_gru_step(noisy_clip):
+    """Reference semantics (optimization.py:146-149,251-257): frame 0
+    is fitted WITHOUT the GRU — the encoder/decoder hidden states
+    stay zero until frame 1. Regression for a bug where the scan
+    advanced the GRU at t=0 on the UNFITTED target pose, conditioning
+    every later prediction on that spurious step. Checked against an
+    explicit python loop implementing the reference schedule."""
+    import jax
+    import optax
+    from fpv4d.core import rotations
+    from fpv4d.models import params as P
+    from fpv4d.ops import losses
+
+    gru = motion_gru.random_params(seed=2)
+    clip = noisy_clip[:3]
+    got = np.asarray(frame_fit.fit_sequential_motion(clip, gru, CFG))
+
+    # reference-style loop
+    target_6d = rotations.params_to_6d(clip)
+    opt = optax.adam(CFG.lr)
+    opt_state = opt.init(target_6d[0])
+    a75, b75 = P.VPOSER_SLICE
+    h_enc = h_dec = jnp.zeros((1, motion_gru.H_ENC))
+    prev_75 = None
+    fitted = []
+    for t in range(3):
+        if t == 0:
+            w_motion, pose_pred = 0.0, jnp.zeros(32)
+        else:
+            w_motion = 1.0
+            pred, h_enc, h_dec = motion_gru.forward_seq(
+                gru, prev_75[a75:b75][None], seq_length=1,
+                h_enc=h_enc, h_dec=h_dec)
+            pose_pred = jax.lax.stop_gradient(pred[0, :, -1])
+
+        def loss_fn(x):
+            base = frame_fit._frame_loss(x, target_6d[t], CFG.weights)
+            body_75x = rotations.params_to_3d(x[None])[0]
+            return base + w_motion * losses.l1(body_75x[a75:b75],
+                                               pose_pred)
+
+        x, opt_state, _ = frame_fit._adam_steps(
+            loss_fn, target_6d[t], opt, opt_state, CFG.num_iter)
+        prev_75 = rotations.params_to_3d(x[None])[0]
+        fitted.append(np.asarray(prev_75))
+
+    np.testing.assert_allclose(got, np.asarray(fitted), atol=2e-5)

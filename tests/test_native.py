@@ -236,3 +236,64 @@ def test_ply_binary_extra_trailing_data_ok(tmp_path, cloud):
                   + b"\x00" * 999)
     v = native.read_ply_vertices(str(p))
     np.testing.assert_allclose(v, cloud, atol=1e-6)
+
+
+def test_ply_element_before_vertex_falls_back(tmp_path, cloud):
+    """A spec-legal PLY that declares a non-empty element BEFORE the
+    vertex element stores that element's data first; the native
+    reader (which assumes vertex records start at end_header) must
+    REFUSE rather than parse the camera bytes as vertices, and the
+    Python fallback — which walks elements in order — must return the
+    true cloud."""
+    p = tmp_path / "cam_first.ply"
+    hdr = (b"ply\nformat binary_little_endian 1.0\n"
+           b"element camera 1\n"
+           b"property float cx\nproperty float cy\nproperty float cz\n"
+           + f"element vertex {len(cloud)}\n".encode()
+           + b"property float x\nproperty float y\nproperty float z\n"
+           b"end_header\n")
+    cam = np.asarray([[9.0, 9.0, 9.0]], "<f4")
+    p.write_bytes(hdr + cam.tobytes() + cloud.astype("<f4").tobytes())
+    if native.available():
+        assert native._load().fpv4d_ply_vertex_count(
+            str(p).encode()) == -1
+    v = native.read_ply_vertices(str(p))
+    np.testing.assert_allclose(v, cloud, atol=1e-6)
+
+
+def test_ply_overlong_ascii_row_falls_back(tmp_path):
+    """An ascii row longer than the native reader's 4096-byte line
+    buffer would otherwise be split, with the remainder parsed as the
+    next row — the native path must bail and the fallback parse."""
+    p = tmp_path / "long_row.ply"
+    pad = " ".join(["7"] * 900)          # ~1800 chars of junk props
+    props = ("float x", "float y", "float z") + tuple(
+        f"float j{i}" for i in range(900))
+    rows = (f"1.0 2.0 3.0 {pad}\n" * 3).encode()
+    assert len(f"1.0 2.0 3.0 {pad}\n") < 4096  # row fits: sanity
+    # make ONE row overlong by appending junk floats to it
+    long_pad = " ".join(["7"] * 2500)
+    rows = (f"1.0 2.0 3.0 {long_pad}\n".encode()
+            + f"4.0 5.0 6.0 {long_pad}\n".encode())
+    assert len(f"1.0 2.0 3.0 {long_pad}\n") > 4096
+    props = ("float x", "float y", "float z") + tuple(
+        f"float j{i}" for i in range(2500))
+    p.write_bytes(_hdr(2, fmt="ascii", props=props) + rows)
+    v = native.read_ply_vertices(str(p))
+    np.testing.assert_allclose(v, [[1, 2, 3], [4, 5, 6]], atol=1e-6)
+
+
+def test_cand_tables_nonfinite_scene_refused():
+    """A scene with one inf/NaN vertex must make the native planner
+    return cleanly (None from build_cand_tables -> numpy fallback),
+    never undefined-behavior casts into the fill phase."""
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(0)
+    pts = rng.randn(500, 3).astype(np.float32)
+    for bad in (np.inf, -np.inf, np.nan, 1e30):
+        poisoned = pts.copy()
+        poisoned[7, 1] = bad
+        assert native.build_cand_tables(poisoned, h=0.25,
+                                        slots_per_cell=8,
+                                        max_cells=500_000) is None

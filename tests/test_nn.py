@@ -250,3 +250,34 @@ def test_select_nearest_exact():
         got = np.asarray(NN._select_nearest(slot, cand))
         want = np.asarray(cand)[np.arange(T)[:, None], np.asarray(slot)]
         np.testing.assert_array_equal(got, want)
+
+
+def test_batched_grid_matches_single_beyond_small_bbox():
+    """A batched grid pads each clip's table to the common dims.
+    Queries past a SMALLER clip's own bbox must behave exactly like
+    that clip's single grid (clamp into its occupied edge cells —
+    finite distance, pulling gradient), not fall into empty padding
+    (BIG, zero gradient). The padding is edge-replicated so the
+    common-dims clamp IS the per-clip clamp."""
+    rng = np.random.RandomState(3)
+    small = np.stack([rng.uniform(-1, 1, 800),
+                      np.full(800, -1.0),
+                      rng.uniform(-1, 1, 800)], 1).astype(np.float32)
+    big = np.stack([rng.uniform(-4, 4, 800),
+                    np.full(800, -1.0),
+                    rng.uniform(-4, 4, 800)], 1).astype(np.float32)
+    g_small = NN.build_voxel_grid(small, h=0.4)
+    g_batch = NN.build_voxel_grid_batch([small, big], h=0.4)
+
+    # queries beyond the small clip's bbox in +x/+z (inside big's)
+    q = jnp.asarray(rng.uniform(1.5, 3.5, (64, 3)).astype(np.float32))
+    d_single, i_single = NN.grid_nn(g_small, q)
+    g0 = NN.VoxelGrid(cand_pts=g_batch.cand_pts[0],
+                      cand_idx=g_batch.cand_idx[0],
+                      origin=g_batch.origin[0],
+                      dims=g_batch.dims, h=g_batch.h)
+    d_batch, i_batch = NN.grid_nn(g0, q)
+    np.testing.assert_allclose(np.asarray(d_batch),
+                               np.asarray(d_single), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i_batch),
+                                  np.asarray(i_single))

@@ -174,7 +174,11 @@ def test_multi_clip_grid_nn_matches_single(setup):
                                              frame_axis=None,
                                              grid_b=grid_b)
     opt_state = init_fn(sb)
-    _, _, hist = step_fn(sb, opt_state, tb, wb, scb)
+    # grid-mode steps take the tables per call (no build-time
+    # snapshot is retained in the step closure)
+    with pytest.raises(ValueError, match="requires grid"):
+        step_fn(sb, opt_state, tb, wb, scb)
+    _, _, hist = step_fn(sb, opt_state, tb, wb, scb, grid=grid_b)
     per_clip = np.asarray(hist)[0]
     for c in range(C):
         state_c, target_c, w_c = solver.init_state(bodies[c], cams[c])
@@ -222,6 +226,26 @@ def test_maybe_initialize_distributed_noop(monkeypatch):
         coordinator_address="10.0.0.1:1234", num_processes=2,
         process_id=0) is True
     assert calls[-1]["coordinator_address"] == "10.0.0.1:1234"
+
+    # REGRESSION: the guard must never enumerate devices — doing so
+    # initializes the local backend, after which the real
+    # jax.distributed.initialize() unconditionally raises ("must be
+    # called before any JAX device operations")
+    def _boom(*a, **k):
+        raise AssertionError("guard must not touch jax devices")
+    monkeypatch.setattr(jax, "process_count", _boom)
+    monkeypatch.setattr(jax, "devices", _boom)
+    monkeypatch.setenv("FPV4D_DISTRIBUTED", "1")
+    assert SH.maybe_initialize_distributed() is True
+
+    # already-initialized short-circuit: a live client handle returns
+    # True without re-calling initialize
+    from jax._src import distributed as _jdist
+    n_calls = len(calls)
+    monkeypatch.setattr(_jdist.global_state, "client", object(),
+                        raising=False)
+    assert SH.maybe_initialize_distributed() is True
+    assert len(calls) == n_calls
 
 
 def test_dct_window_sharding_alignment():
