@@ -275,90 +275,33 @@ def build_sharded_step(solver: ClipSolver, mesh: Mesh, phase: str = "local_a",
         lambda _: NamedSharding(mesh, P(clip_axis, f)),
         SdfLin(s0=0, g=0, v0=0)) if with_sdf else None)
 
-    if use_grid:
-        grid_sharding = jax.tree.map(
-            lambda _: NamedSharding(mesh, P(clip_axis)), grid_b)
-        if with_sdf:
-            jitted = jax.jit(
-                phase_scan,
-                in_shardings=(sh["replicated"], sh["scene"],
-                              grid_sharding, sdf_sh, sh["state"], None,
-                              sh["target"], sh["weights"], extra_sh),
-                out_shardings=out_sh)
+    # ONE jitted program covers all four (use_grid x with_sdf)
+    # variants: None is a valid (empty) pytree argument with a None
+    # sharding spec, so the absent grid/sdf slots simply carry None —
+    # no per-variant wrapper duplication
+    grid_sharding = (jax.tree.map(
+        lambda _: NamedSharding(mesh, P(clip_axis)), grid_b)
+        if use_grid else None)
+    jitted = jax.jit(
+        phase_scan,
+        in_shardings=(sh["replicated"], sh["scene"], grid_sharding,
+                      sdf_sh, sh["state"], None, sh["target"],
+                      sh["weights"], extra_sh),
+        out_shardings=out_sh)
 
-            def step_fn(state_b, opt_state, target_b, weights_b,
-                        scene_b, extra_b=None, grid=None, sdf_b=None):
-                if grid is None:
-                    # no silent fallback to the build-time grid_b: a
-                    # closure default would pin that candidate-table
-                    # snapshot (tens of MB of device HBM) for the
-                    # lifetime of the cached step program
-                    raise ValueError(
-                        "grid-mode step_fn requires grid=...")
-                return jitted(solver.ctx, scene_b, grid, sdf_b,
-                              state_b, opt_state, target_b, weights_b,
-                              zero_extra if extra_b is None else extra_b)
-        else:
-            def with_grid(ctx_base, scene_b, grid_arg, state_b,
-                          opt_state, target_b, weights_b, extra_b):
-                return phase_scan(ctx_base, scene_b, grid_arg, None,
-                                  state_b, opt_state, target_b,
-                                  weights_b, extra_b)
-
-            jitted = jax.jit(
-                with_grid,
-                in_shardings=(sh["replicated"], sh["scene"],
-                              grid_sharding, sh["state"], None,
-                              sh["target"], sh["weights"], extra_sh),
-                out_shardings=out_sh)
-
-            def step_fn(state_b, opt_state, target_b, weights_b,
-                        scene_b, extra_b=None, grid=None, sdf_b=None):
-                if grid is None:
-                    raise ValueError(
-                        "grid-mode step_fn requires grid=...")
-                return jitted(solver.ctx, scene_b, grid, state_b,
-                              opt_state, target_b, weights_b,
-                              zero_extra if extra_b is None else extra_b)
-    else:
-        if with_sdf:
-            def no_grid(ctx_base, scene_b, sdf_b, state_b, opt_state,
-                        target_b, weights_b, extra_b):
-                return phase_scan(ctx_base, scene_b, None, sdf_b,
-                                  state_b, opt_state, target_b,
-                                  weights_b, extra_b)
-
-            jitted = jax.jit(
-                no_grid,
-                in_shardings=(sh["replicated"], sh["scene"], sdf_sh,
-                              sh["state"], None, sh["target"],
-                              sh["weights"], extra_sh),
-                out_shardings=out_sh)
-
-            def step_fn(state_b, opt_state, target_b, weights_b,
-                        scene_b, extra_b=None, grid=None, sdf_b=None):
-                return jitted(solver.ctx, scene_b, sdf_b, state_b,
-                              opt_state, target_b, weights_b,
-                              zero_extra if extra_b is None else extra_b)
-        else:
-            def no_grid(ctx_base, scene_b, state_b, opt_state,
-                        target_b, weights_b, extra_b):
-                return phase_scan(ctx_base, scene_b, None, None,
-                                  state_b, opt_state, target_b,
-                                  weights_b, extra_b)
-
-            jitted = jax.jit(
-                no_grid,
-                in_shardings=(sh["replicated"], sh["scene"], sh["state"],
-                              None, sh["target"], sh["weights"],
-                              extra_sh),
-                out_shardings=out_sh)
-
-            def step_fn(state_b, opt_state, target_b, weights_b,
-                        scene_b, extra_b=None, grid=None, sdf_b=None):
-                return jitted(solver.ctx, scene_b, state_b, opt_state,
-                              target_b, weights_b,
-                              zero_extra if extra_b is None else extra_b)
+    def step_fn(state_b, opt_state, target_b, weights_b,
+                scene_b, extra_b=None, grid=None, sdf_b=None):
+        if use_grid and grid is None:
+            # no silent fallback to the build-time grid_b: a closure
+            # default would pin that candidate-table snapshot (tens
+            # of MB of device HBM) for the lifetime of the cached
+            # step program
+            raise ValueError("grid-mode step_fn requires grid=...")
+        return jitted(solver.ctx, scene_b,
+                      grid if use_grid else None,
+                      sdf_b if with_sdf else None,
+                      state_b, opt_state, target_b, weights_b,
+                      zero_extra if extra_b is None else extra_b)
 
     def init_fn(state_b):
         return opt.init(state_b)
