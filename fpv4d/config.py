@@ -111,7 +111,10 @@ class KeypointFitConfig:
     # (joint-batch L-BFGS with zoom linesearch, like smplifyx's torch
     # LBFGS — scan-speed on TPU), or 'lbfgs_perframe' (vmapped
     # per-frame L-BFGS: per-frame curvature/step, best recovery per
-    # iteration, but the vmapped linesearch is ~58x slower than Adam
-    # on TPU — CPU-sized problems only)
+    # iteration). r3 measured the perframe ZOOM linesearch at ~58x
+    # slower than Adam on TPU (lanes wait for the slowest); r4
+    # replaced it with a bounded backtracking search that vectorizes
+    # under vmap at unchanged recovery (PERFORMANCE.md) — TPU
+    # throughput of the new form is pending tools/kp_bench.py.
     optimizer: str = "adam"
     lbfgs_memory: int = 8
