@@ -600,8 +600,12 @@ def main():
         "vs_baseline": round(60.0 / dt, 3),
         "extras": extras,
     }
+    # a degraded run (CPU smoke / tunnel-down fallback) must not
+    # clobber the committed TPU artifact
+    out_name = ("bench_out.json" if backend == "tpu"
+                else "bench_out_cpu.json")
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "bench_out.json")
+                            out_name)
     try:
         with open(out_path, "w") as f:
             json.dump(full, f, indent=1)
@@ -650,7 +654,8 @@ def main():
             "pallas_ok": extras.get("pallas_check", {}).get("ok"),
             "cand_kernel_ok": extras.get("cand_kernel_check",
                                          {}).get("ok"),
-            "full_results": "bench_out.json",
+            **({"tunnel_down": True} if tunnel_down else {}),
+            "full_results": out_name,
         },
     }
     print(json.dumps(compact))
