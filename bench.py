@@ -618,9 +618,11 @@ def main():
         "vs_baseline": round(60.0 / dt, 3),
         "extras": extras,
     }
-    # a degraded run (CPU smoke / tunnel-down fallback) must not
-    # clobber the committed TPU artifact
-    out_name = ("bench_out.json" if backend == "tpu"
+    # a degraded run must not clobber the committed TPU artifact —
+    # neither the CPU/tunnel-down fallback NOR a small TPU smoke run
+    # (on this box the axon plugin is the default backend, so
+    # FPV4D_BENCH_SMALL=1 with the tunnel up still lands on TPU)
+    out_name = ("bench_out.json" if (backend == "tpu" and not small)
                 else "bench_out_cpu.json")
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             out_name)

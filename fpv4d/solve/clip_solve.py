@@ -503,6 +503,17 @@ class ClipSolver:
 
     # -- phase runner ----------------------------------------------------------
 
+    @staticmethod
+    def contact_a_loss(t: Terms, contact_mult) -> jnp.ndarray:
+        """THE a-phase recipe (local_a/global_a), in one place: the
+        phases differ only by the contact multiplier, which may be a
+        static config float (phase_loss, sharded fleet, roofline) or
+        a traced scalar (the shared 'contact_a' executable in
+        run_phase). One definition so the production single-clip
+        program can never drift from the sharded/roofline one."""
+        return (t.contact * contact_mult + t.smooth + t.rec
+                + t.collision)
+
     def phase_loss(self, phase: str, state: ClipState, target_6d,
                    frame_weights, ctx: Optional[Ctx] = None) -> jnp.ndarray:
         """Stage loss recipes — the static equivalents of the
@@ -524,13 +535,11 @@ class ClipSolver:
         # with the contact term in every contact-bearing phase (the
         # reference's weight_collision shipped beside weight_contact)
         if phase == "local_a":
-            return (t.contact * cfg.local_contact_mult + t.smooth
-                    + t.rec + t.collision)
+            return self.contact_a_loss(t, cfg.local_contact_mult)
         if phase == "local_b":
             return t.rec + t.smooth * cfg.phase_b_smooth_mult
         if phase == "global_a":
-            return (t.contact * cfg.global_contact_mult + t.smooth
-                    + t.rec + t.collision)
+            return self.contact_a_loss(t, cfg.global_contact_mult)
         if phase == "global_b":
             return t.rec + t.world_smooth + t.smooth \
                 * cfg.phase_b_smooth_mult
@@ -602,8 +611,7 @@ class ClipSolver:
                     if contact_a:
                         t = self.terms(st, target_6d, frame_weights,
                                        ctx, prune=self._contact_prune)
-                        return (t.contact * contact_mult + t.smooth
-                                + t.rec + t.collision)
+                        return self.contact_a_loss(t, contact_mult)
                     return self.phase_loss(phase, st, target_6d,
                                            frame_weights, ctx)
 

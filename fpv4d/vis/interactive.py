@@ -59,6 +59,9 @@ function url(){return `frame?i=${i}&mode=${mode}&azim=${az.toFixed(3)}`+
 function tick(){ if(busy) return; busy=true;
   const want=url();
   fetch(want).then(r=>r.blob()).then(b=>{
+    // revoke the previous frame's blob URL — hours of playback would
+    // otherwise pin every fetched PNG in the tab for the page's life
+    if(img.src.startsWith("blob:")) URL.revokeObjectURL(img.src);
     img.src=URL.createObjectURL(b); busy=false;
     info.textContent=`frame ${i+1}/${N} [${mode}]`;
     scrub.value=i;

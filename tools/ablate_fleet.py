@@ -195,7 +195,10 @@ def main():
         t0 = time.perf_counter()
         for _ in range(3):
             out = fn(*args)
-        jax.tree.map(lambda x: x.block_until_ready(), out)
+        # block_until_ready is NOT a reliable fence through the axon
+        # tunnel (CLAUDE.md) — force a scalar readback off one leaf
+        float(jnp.asarray(
+            jax.tree_util.tree_leaves(out)[0]).ravel()[0])
         ms = (time.perf_counter() - t0) / 3 / div * 1e3
         # amortize over the production refresh interval
         per_step = ms / max(1, solver.config.contact_refresh_steps)

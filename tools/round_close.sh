@@ -17,7 +17,12 @@
 #      OOM, which can wedge the tunnel — nothing may run after it.
 #
 # ONE TPU client at a time: never run any step concurrently with
-# another TPU process.
+# another TPU process. A timeout-KILLED step wedges the tunnel ~60s
+# and processes started during the wedge hang at init forever
+# (CLAUDE.md) — so every step's exit code is checked, and after a
+# failure we wait out the wedge and re-probe instead of launching
+# the next step blind; prewarm only wipes the cache AFTER its
+# predecessor succeeded.
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p .round_close
@@ -30,6 +35,20 @@ print("probe:", jax.default_backend(), float((x @ x)[0, 0]))
 EOF
 }
 
+# wait out a possible tunnel wedge after a failed/killed step, then
+# re-probe; abort the whole sequence if the tunnel does not answer
+recover_or_abort() {
+    local step="$1"
+    echo "[round_close] step $step FAILED — waiting out a possible" \
+         "tunnel wedge (90s) then re-probing" >&2
+    sleep 90
+    if ! probe; then
+        echo "[round_close] tunnel not answering after $step failure" \
+             "— ABORTING (cache preserved; retry later)" >&2
+        exit 1
+    fi
+}
+
 echo "[round_close] step 0: tunnel probe"
 if ! probe; then
     echo "[round_close] tunnel DOWN — aborting (retry later)" >&2
@@ -37,18 +56,25 @@ if ! probe; then
 fi
 
 echo "[round_close] step 1: kp_bench (lbfgs_perframe decision)"
-timeout 3600 python tools/kp_bench.py 2>&1 | tee .round_close/kp_bench.log
+if ! timeout 3600 python tools/kp_bench.py > >(tee .round_close/kp_bench.log) 2>&1; then
+    recover_or_abort "1 (kp_bench)"
+fi
 echo "[round_close] >>> if lbfgs_perframe < 50 f/s: add the TPU guard"
 echo "[round_close] >>> in config.py NOW, re-run this script from step 2."
 
 echo "[round_close] step 2: prewarm from an empty cache"
 rm -rf .jax_cache
-timeout 7200 python tools/prewarm.py 2>&1 | tee .round_close/prewarm.log
+if ! timeout 7200 python tools/prewarm.py > >(tee .round_close/prewarm.log) 2>&1; then
+    recover_or_abort "2 (prewarm)"
+fi
 
 echo "[round_close] step 3: full bench"
-timeout 7200 python bench.py 2>&1 | tee .round_close/bench.log
+if ! timeout 7200 python bench.py > >(tee .round_close/bench.log) 2>&1; then
+    recover_or_abort "3 (bench)"
+fi
 
 echo "[round_close] step 4 (LAST, OOM risk): hbm probe"
-timeout 7200 python tools/hbm_probe.py 2>&1 | tee .round_close/hbm_probe.log
+timeout 7200 python tools/hbm_probe.py > >(tee .round_close/hbm_probe.log) 2>&1 \
+    || echo "[round_close] hbm_probe failed (tolerated: it is last)" >&2
 
 echo "[round_close] done — logs in .round_close/, results in bench_out.json"
