@@ -100,3 +100,23 @@ def test_hbm_probe_small_reports_boundary():
     assert out["max_clips_per_chip"] == 4
     assert out["first_failing_c"] is None
     assert out["points"]["2"]["fits"] and out["points"]["4"]["fits"]
+
+
+@pytest.mark.slow
+def test_scaling_report_collectives_smoke():
+    """collective_counts() reaches into build_sharded_step's closure
+    and lowers the underlying jitted program with a hand-written copy
+    of its 9-slot signature — which silently drifts when that
+    signature changes (it broke in r4's None-tolerant wrapper
+    collapse). Lower it at tiny shapes; also pin the headline claim
+    that window-aligned c_dct sharding needs NO gather while the
+    replicated layout pays one."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    import scaling_report
+    res = scaling_report.collective_counts(T=8, frames=2)
+    (rep_tag, rep), (ali_tag, ali) = sorted(res.items())
+    assert "replicated" in rep_tag and "aligned" in ali_tag
+    assert rep["all-gather"] >= 1       # replicated c_dct pays a gather
+    assert ali["all-gather"] == 0       # aligned windows stay local
+    assert ali["all-reduce"] >= 1       # loss/grad reduction remains

@@ -75,12 +75,16 @@ def build(T, window, num_verts=128, scene_pts=256):
     return solver, body, cam, scene, rng
 
 
-def collective_counts():
+def collective_counts(T=None, frames=4):
     """Frame-sharded step: collectives with aligned vs replicated
-    c_dct sharding."""
-    T, window = 32, 4                    # W = 8 windows, 4 frame shards
+    c_dct sharding. Returns the per-layout counts (also printed) so
+    tests can smoke this path — its closure-reaching lowering
+    duplicates build_sharded_step's program signature and silently
+    drifts when that signature changes (it did in r4's None-tolerant
+    wrapper collapse)."""
+    T, window = (T or 32), 4             # W windows, `frames` shards
     solver, body, cam, scene, rng = build(T, window)
-    mesh = SH.make_mesh({"clips": 2, "frames": 4})
+    mesh = SH.make_mesh({"clips": 2, "frames": frames})
     mc = MultiClipSolver(solver=solver, mesh=mesh)
     C = 2
     bodies = jnp.asarray(np.tile(body[None], (C, 1, 1)))
@@ -89,7 +93,8 @@ def collective_counts():
     state_b, target_b, weights_b = mc.init_batch(bodies, cams)
 
     print(f"== collectives per compiled dct_a step "
-          f"(T={T}, window={window}, mesh clips=2 x frames=4) ==")
+          f"(T={T}, window={window}, mesh clips=2 x frames={frames}) ==")
+    results = {}
     for tag, dct_windows in (("c_dct P(clips) [replicated over frames]",
                               None),
                              ("c_dct P(clips, frames) [aligned windows]",
@@ -118,12 +123,17 @@ def collective_counts():
         cells = [c.cell_contents for c in step_fn.__closure__
                  if hasattr(c.cell_contents, "lower")]
         jitted = cells[0]
-        counts = count_collectives(jitted, solver.ctx, scb, sb,
-                                   opt_state, tb, wb,
+        # the collapsed None-tolerant program's signature (sharding.py
+        # build_sharded_step): (ctx, scene, grid, sdf, state,
+        # opt_state, target, weights, extra) — grid/sdf ride as None
+        counts = count_collectives(jitted, solver.ctx, scb, None,
+                                   None, sb, opt_state, tb, wb,
                                    jnp.zeros((), jnp.float32))
         total = sum(counts.values())
         print(f"  {tag}: total={total}  " + "  ".join(
             f"{k}={v}" for k, v in counts.items() if v))
+        results[tag] = counts
+    return results
 
 
 def weak_scaling():
