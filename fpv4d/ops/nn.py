@@ -536,9 +536,6 @@ def _cand_bwd(res, g):
 nn_to_candidates.defvjp(_cand_fwd, _cand_bwd)
 
 
-_cand16_flat = None  # assigned below, after _cand16_full is defined
-
-
 @jax.custom_vjp
 def nn_to_candidates_bf16(q: jnp.ndarray, cands: FrameCands
                           ) -> jnp.ndarray:
