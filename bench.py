@@ -584,6 +584,19 @@ def main():
                 "clips_per_hour_per_chip": round(C * 3600.0 / dt_m, 1),
                 "per_clip_slowdown_vs_single": round(
                     dt_m / (C * dt), 3)}
+            # attribution run: per-stage wall-clock with scalar-readback
+            # fences (slightly slower than the steady number above —
+            # fencing serializes stages that otherwise pipeline). This
+            # is the per-round answer to WHERE any per-clip slowdown
+            # lives (VERDICT r3 ask #2).
+            tms = {}
+            sb, _ = mc.fit(bodies, cams, jnp.asarray(scenes),
+                           mode="local", timings=tms)
+            extras["multi_clip"]["phase_s"] = {
+                k: round(v, 3) for k, v in tms.items()}
+            print(f"[bench] multi-clip attribution (fenced): "
+                  f"{extras['multi_clip']['phase_s']}",
+                  file=sys.stderr)
             try:
                 ms = jax.local_devices()[0].memory_stats() or {}
                 if "peak_bytes_in_use" in ms:

@@ -29,6 +29,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "joint-batch L-BFGS (the smplifyx family; "
                         "typically needs ~1/4 the iters), or "
                         "per-frame vmapped L-BFGS (slow on TPU)")
+    p.add_argument("--allow-slow-perframe", action="store_true",
+                   help="override the TPU guard that rejects "
+                        "lbfgs_perframe (~3x slower than lbfgs at "
+                        "equal recovery — 22 vs 46 frames/s measured "
+                        "at T=900 on v5e)")
     p.add_argument("--no-face", action="store_true",
                    help="ignore face keypoints even when present "
                         "(face fitting needs a model with landmark "
@@ -69,7 +74,8 @@ def main(argv=None) -> int:
     cfg = KeypointFitConfig(focal_length=args.focal,
                             image_size=(args.width, args.height),
                             num_iter=args.iters,
-                            optimizer=args.optimizer)
+                            optimizer=args.optimizer,
+                            allow_slow_perframe=args.allow_slow_perframe)
     params, hist = fit_keypoints(model, vp, kp, cfg,
                                  hand_left=hands.get("hand_left"),
                                  hand_right=hands.get("hand_right"),

@@ -114,7 +114,11 @@ class KeypointFitConfig:
     # iteration). r3 measured the perframe ZOOM linesearch at ~58x
     # slower than Adam on TPU (lanes wait for the slowest); r4
     # replaced it with a bounded backtracking search that vectorizes
-    # under vmap at unchanged recovery (PERFORMANCE.md) — TPU
-    # throughput of the new form is pending tools/kp_bench.py.
+    # under vmap at unchanged recovery (PERFORMANCE.md), measured at
+    # 22 frames/s on v5e at T=900 (tools/kp_bench.py) — still ~3x
+    # slower than 'lbfgs' (46 f/s) at equal recovery, so
+    # fit_keypoints REJECTS it on TPU unless allow_slow_perframe.
     optimizer: str = "adam"
+    # opt-in override for the lbfgs_perframe-on-TPU guard above
+    allow_slow_perframe: bool = False
     lbfgs_memory: int = 8

@@ -138,21 +138,45 @@ class MultiClipSolver:
 
     def fit(self, bodies: jnp.ndarray, camera_exts: jnp.ndarray,
             scenes: jnp.ndarray, mode: str = "local",
+            timings: Optional[Dict[str, float]] = None,
             ) -> Tuple[ClipState, Dict[str, np.ndarray]]:
         """Run the full staged schedule for every clip at once.
         bodies [C,T,75], camera_exts [C,T,4,4], scenes [C,M,3]
         (pre-padded). Same phase schedule as ClipSolver.fit — including
         the 'local' anti-foot-skate phase with per-clip planted-foot
         weights — with every phase compiled as ONE jitted lax.scan of
-        sharded steps (no host dispatch inside the hot loop)."""
+        sharded steps (no host dispatch inside the hot loop).
+
+        timings: optional dict — when given, each stage is FENCED with
+        a scalar readback (jax.block_until_ready is not a reliable
+        fence through the axon tunnel) and its wall-clock accumulated
+        under keys 'init', 'grids', 'detect', 'refresh', '<phase>'.
+        Fencing serializes work that otherwise pipelines, so a timed
+        fit is an attribution run, slightly slower than production."""
         cfg = self.solver.config
-        state_b, target_b, weights_b = self.init_batch(bodies, camera_exts)
+        import time as _time
+
+        def _fenced(key, fn, *a, **kw):
+            if timings is None:
+                return fn(*a, **kw)
+            t0 = _time.perf_counter()
+            out = fn(*a, **kw)
+            leaves = [x for x in jax.tree.leaves(out)
+                      if hasattr(x, "dtype")]
+            if leaves:
+                float(jnp.sum(leaves[0].astype(jnp.float32).ravel()[:1]))
+            timings[key] = timings.get(key, 0.0) \
+                + _time.perf_counter() - t0
+            return out
+
+        state_b, target_b, weights_b = _fenced(
+            "init", self.init_batch, bodies, camera_exts)
         state_b, target_b, weights_b, scene_b = (
             SH.shard_batch(self.mesh, state_b, target_b, weights_b,
                            jnp.asarray(scenes), self.clip_axis,
                            self.frame_axis))
 
-        grid_b = self._get_grids(scenes)
+        grid_b = _fenced("grids", self._get_grids, scenes)
 
         n_a = int(cfg.num_iter * cfg.stage_split)
         if mode == "local":
@@ -187,7 +211,8 @@ class MultiClipSolver:
             extra_b = None
             if phase == "skate":
                 detect = self._get_detect(shapes_key, grid_b)
-                extra_b = detect(state_b, scene_b, grid=grid_b)
+                extra_b = _fenced("detect", detect, state_b, scene_b,
+                                  grid=grid_b)
             if lazy:
                 # same lazy-refresh chunking as ClipSolver
                 # ._run_phase_auto: candidate tables (and the SDF
@@ -206,9 +231,12 @@ class MultiClipSolver:
                 left = steps
                 while left > 0:
                     k = min(chunk, left)
-                    cands_b = (refresh(state_b, scene_b, grid=grid_b)
+                    cands_b = (_fenced("refresh", refresh, state_b,
+                                       scene_b, grid=grid_b)
                                if lazy_cands else grid_b)
-                    sdf_b = (self._get_sdf_refresh(shapes_key)(state_b)
+                    sdf_b = (_fenced("sdf_refresh",
+                                     self._get_sdf_refresh(shapes_key),
+                                     state_b)
                              if use_sdf else None)
                     step_fn, init_fn = self._get_step(
                         (phase, "lazy") if lazy_cands else phase, k,
@@ -216,9 +244,10 @@ class MultiClipSolver:
                         with_sdf=use_sdf)
                     if opt_state is None:
                         opt_state = init_fn(state_b)
-                    state_b, opt_state, h = step_fn(
-                        state_b, opt_state, target_b, weights_b,
-                        scene_b, extra_b, grid=cands_b, sdf_b=sdf_b)
+                    state_b, opt_state, h = _fenced(
+                        phase, step_fn, state_b, opt_state, target_b,
+                        weights_b, scene_b, extra_b, grid=cands_b,
+                        sdf_b=sdf_b)
                     hs.append(np.asarray(h))
                     left -= k
                 h = np.concatenate(hs)
@@ -228,9 +257,9 @@ class MultiClipSolver:
                                                   dct_windows=W)
                 if opt_state is None:
                     opt_state = init_fn(state_b)
-                state_b, opt_state, h = step_fn(
-                    state_b, opt_state, target_b, weights_b, scene_b,
-                    extra_b, grid=grid_b)
+                state_b, opt_state, h = _fenced(
+                    phase, step_fn, state_b, opt_state, target_b,
+                    weights_b, scene_b, extra_b, grid=grid_b)
                 h = np.asarray(h)
             key = "local_skate" if phase == "skate" else phase
             hist[key] = h

@@ -174,6 +174,18 @@ def fit_keypoints(model: SmplxModel, vposer_params: Dict[str, jnp.ndarray],
     mesh.axis_names[0] (C divisible by that axis size), turning the
     vmap into a data-parallel fleet step.
     """
+    if (config.optimizer == "lbfgs_perframe"
+            and jax.default_backend() == "tpu"
+            and not config.allow_slow_perframe):
+        # Measured on v5e (tools/kp_bench.py, T=900): 22 frames/s —
+        # ~3x slower than 'lbfgs' (46 f/s) at essentially identical
+        # recovery (18.0 vs 17.4 mm MPJPE). Opt in explicitly if the
+        # per-frame curvature form is really wanted on TPU.
+        raise ValueError(
+            "optimizer='lbfgs_perframe' is ~3x slower than 'lbfgs' on "
+            "TPU at equal recovery (22 vs 46 frames/s measured at "
+            "T=900); use optimizer='lbfgs', or set "
+            "allow_slow_perframe=True to override.")
     batched = keypoints.ndim == 4
     lead = tuple(keypoints.shape[:-2])       # (T,) or (C, T)
     T = lead[-1]

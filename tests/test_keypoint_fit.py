@@ -261,6 +261,25 @@ def test_fit_lbfgs_recovers_truth(setup):
     assert mpjpe(params_pf) < 0.010
 
 
+def test_perframe_tpu_guard(setup, monkeypatch):
+    """On TPU, 'lbfgs_perframe' is rejected unless explicitly allowed
+    (measured ~3x slower than 'lbfgs' at equal recovery — config.py).
+    The backend is monkeypatched; the allow path must not raise before
+    reaching actual work."""
+    import dataclasses
+    import jax as _jax
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    cfg = dataclasses.replace(setup["cfg"], optimizer="lbfgs_perframe",
+                              num_iter=2)
+    with pytest.raises(ValueError, match="lbfgs_perframe"):
+        KF.fit_keypoints(setup["model"], setup["vp"], setup["kp"], cfg)
+    monkeypatch.undo()
+    cfg_ok = dataclasses.replace(cfg, allow_slow_perframe=True)
+    params, _ = KF.fit_keypoints(setup["model"], setup["vp"],
+                                 setup["kp"], cfg_ok)
+    assert np.all(np.isfinite(params))
+
+
 def test_fit_batched_clips_matches_loop(setup):
     """FLEET SHAPE (r4): a [C, T] clips-batched fit must equal the
     per-clip loop exactly — loss normalization, optimizer state and

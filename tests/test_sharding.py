@@ -102,9 +102,13 @@ def test_multi_clip_fit_runs(setup):
     bodies, cams, scenes = _batch(s, C, T)
     mesh = SH.make_mesh({"clips": 2})
     mc = MultiClipSolver(solver=solver, mesh=mesh, frame_axis=None)
+    tms = {}
     state_b, hist = mc.fit(bodies, cams, jnp.asarray(scenes),
-                           mode="global")
+                           mode="global", timings=tms)
     assert set(hist) == {"global_a", "global_b"}
+    # the fenced attribution run records every stage it executed
+    assert {"init", "global_a", "global_b"} <= set(tms)
+    assert all(v > 0 for v in tms.values())
     assert hist["global_a"].shape[1] == C
     results = mc.result_params(state_b)
     assert len(results) == C
