@@ -31,7 +31,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "per-frame vmapped L-BFGS (slow on TPU)")
     p.add_argument("--allow-slow-perframe", action="store_true",
                    help="override the TPU guard that rejects "
-                        "lbfgs_perframe (~3x slower than lbfgs at "
+                        "lbfgs_perframe (~2x slower than lbfgs at "
                         "equal recovery — 22 vs 46 frames/s measured "
                         "at T=900 on v5e)")
     p.add_argument("--no-face", action="store_true",

@@ -115,7 +115,7 @@ class KeypointFitConfig:
     # slower than Adam on TPU (lanes wait for the slowest); r4
     # replaced it with a bounded backtracking search that vectorizes
     # under vmap at unchanged recovery (PERFORMANCE.md), measured at
-    # 22 frames/s on v5e at T=900 (tools/kp_bench.py) — still ~3x
+    # 22 frames/s on v5e at T=900 (tools/kp_bench.py) — still ~2x
     # slower than 'lbfgs' (46 f/s) at equal recovery, so
     # fit_keypoints REJECTS it on TPU unless allow_slow_perframe.
     optimizer: str = "adam"

@@ -222,7 +222,8 @@ def build_sharded_step(solver: ClipSolver, mesh: Mesh, phase: str = "local_a",
                 ctx = Ctx(model=ctx_base.model, vposer=ctx_base.vposer,
                           scene=scene)
                 _, joints_w, _ = forward_world(
-                    ctx, state, vertex_subset=solver.contact_vids)
+                    ctx, state, vertex_subset=solver.contact_vids,
+                    prune=solver._contact_prune)
                 return joints_w
 
             joints_b = jax.lax.stop_gradient(

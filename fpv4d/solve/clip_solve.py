@@ -119,6 +119,14 @@ def mask_stop_gradient(state: ClipState, mask: ClipState) -> ClipState:
 
 
 _DUMMY_VERT = np.zeros(1, np.int32)
+# Every joints_w consumer reads joints[:, :23] (body + jaw; the
+# reference's cal_loss likewise uses smplx_output.joints[:, :23],
+# global_optimization.py:298-299) — and joints 0..22 form an
+# ancestor-closed prefix of the SMPL-X tree (PARENTS[j] < 23 for
+# j < 23), so the joints-only FK can statically stop at the body
+# subtree: 8 sequential levels instead of 11, 23 joints instead of
+# 55, and the 30-joint hand PCA->matrot chains become dead code.
+_BODY_JOINTS = np.arange(23, dtype=np.int32)
 
 
 def forward_world(ctx: Ctx, state: ClipState,
@@ -138,10 +146,14 @@ def forward_world(ctx: Ctx, state: ClipState,
     prune: optional (joint_subset, pose_joint_subset) from
     model.joint_support(vertex_subset) — the VERTICES then come from a
     joint-support-pruned forward (depth-5, ~9-joint FK for leg contact
-    sets) and the JOINTS from a separate full-chain joints-only call.
-    Phase losses that read only one of the two leave the other call to
-    XLA dead-code elimination, so contact-only phases (local_a/
-    global_a/skate/refresh) never pay the 55-joint chain at all.
+    sets) and the JOINTS from a separate body-subtree call pruned to
+    joints 0..22 (all any consumer reads — _BODY_JOINTS above; r5,
+    VERDICT r4 ask #3: the 30 hand joints at FK depth 8-11 were dead
+    weight in every joints-reading phase). Phase losses that read only
+    one of the two leave the other call to XLA dead-code elimination,
+    so contact-only phases (local_a/global_a/skate/refresh) never pay
+    the body chain at all, and joints-reading phases (global_b/dct_b/
+    the dct_a hoist) never pay the hand chains.
     Exact: pruning drops exactly-zero terms only (f32 sum order)."""
     # decode straight from the 78-d layout (P.split_6d — canonical
     # slot table in fpv4d.models.params): rotations flow as MATRICES
@@ -166,7 +178,8 @@ def forward_world(ctx: Ctx, state: ClipState,
         out_v = ctx.model(**common, vertex_subset=vertex_subset,
                           joint_subset=prune[0],
                           pose_joint_subset=prune[1])
-        out_j = ctx.model(**common, vertex_subset=_DUMMY_VERT)
+        out_j = ctx.model(**common, vertex_subset=_DUMMY_VERT,
+                          joint_subset=_BODY_JOINTS)
         verts, joints = out_v["vertices"], out_j["joints"]
     b2w = transforms.body2world(state.camera_ext,
                                 d["camera_translation"], state.scale)
@@ -445,6 +458,29 @@ class ClipSolver:
 
     # -- init ----------------------------------------------------------------
 
+    @staticmethod
+    def init_core(body_75: jnp.ndarray, outlier_factor: float
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Outlier-aware init on ONE clip's [T, 75] params -> (seeded
+        body_6d, target_6d, frame_weights). Pure/traceable — the
+        single-clip init_state jits it and the fleet's
+        MultiClipSolver.init_batch vmaps it over clips (one program,
+        so the two paths cannot drift; VERDICT r4 ask #1a)."""
+        T = body_75.shape[0]
+        body_6d = rotations.params_to_6d(body_75)
+        a, b = P.VPOSER_SLICE
+        latent = body_75[:, a:b]
+        stats = jnp.sum(latent ** 2, axis=1)
+        good = stats <= outlier_factor * jnp.mean(stats)
+
+        idx = jnp.arange(T)
+        # nearest good frame (outliers re-seeded from it)
+        dist = jnp.abs(idx[:, None] - idx[None, :]) + jnp.where(
+            good[None, :], 0, 10 * T)
+        nearest_good = jnp.argmin(dist, axis=1)
+        seed_from = jnp.where(good, idx, nearest_good)
+        return body_6d[seed_from], body_6d, good.astype(jnp.float32)
+
     def init_state(self, body_75: jnp.ndarray, camera_ext: jnp.ndarray
                    ) -> Tuple[ClipState, jnp.ndarray, jnp.ndarray]:
         """Seed decision variables + outlier handling (init(),
@@ -459,26 +495,8 @@ class ClipSolver:
         T = body_75.shape[0]
 
         if "init_state" not in self._compiled:
-
-            @jax.jit
-            def run(body_75):
-                T = body_75.shape[0]
-                body_6d = rotations.params_to_6d(body_75)
-                a, b = P.VPOSER_SLICE
-                latent = body_75[:, a:b]
-                stats = jnp.sum(latent ** 2, axis=1)
-                good = stats <= cfg.outlier_factor * jnp.mean(stats)
-
-                idx = jnp.arange(T)
-                # nearest good frame (outliers re-seeded from it)
-                dist = jnp.abs(idx[:, None] - idx[None, :]) + jnp.where(
-                    good[None, :], 0, 10 * T)
-                nearest_good = jnp.argmin(dist, axis=1)
-                seed_from = jnp.where(good, idx, nearest_good)
-                return (body_6d[seed_from], body_6d,
-                        good.astype(jnp.float32))
-
-            self._compiled["init_state"] = run
+            self._compiled["init_state"] = jax.jit(
+                lambda b: self.init_core(b, cfg.outlier_factor))
 
         body_init, target_6d, weights = self._compiled["init_state"](
             body_75)
@@ -495,7 +513,9 @@ class ClipSolver:
             # project the INITIAL world joint trajectories onto the
             # orthonormal DCT basis — phase dct_a then starts at the
             # least-squares optimum for the initial pose sequence
-            _, joints_w, _ = forward_world(self.ctx, state)
+            _, joints_w, _ = forward_world(
+                self.ctx, state, vertex_subset=self.contact_vids,
+                prune=self._contact_prune)
             state = state._replace(c_dct=losses.dct_encode(
                 joints_w[:, :cfg.num_dct_joints], cfg.window,
                 cfg.dct_num))
@@ -520,16 +540,19 @@ class ClipSolver:
         reference's per-stage loss lines (global_optimization.py:
         505-523 local, :564-582 global, :601-620 dct)."""
         cfg = self.config
-        # joint-support pruning only where the phase loss reads verts
-        # but NOT joints: local_a/global_a (contact+smooth+rec[+sdf])
-        # then run the depth-pruned FK and XLA removes the full-chain
-        # joints call entirely. dct_b reads joints_w too (t.dct), so
-        # pruning there would ADD a second small FK next to the full
-        # one it must pay anyway — net loss; local_b/global_b/dct_a
-        # read no verts, so prune is moot (the vertex forward is dead
-        # code either way).
+        # joint-support pruning on every FK-bearing phase (r5 — the
+        # joints call now stops at the 23-joint body subtree, see
+        # forward_world): local_a/global_a read verts only (the joints
+        # call is DCE'd), global_b reads joints only (the leg-pruned
+        # vertex call is DCE'd), dct_b reads both (leg-chain vertex FK
+        # + body-chain joints FK — together still cheaper than one
+        # 55-joint, depth-11 chain). local_b/dct_a are parameter-only
+        # here (prune moot; dct_a's hoisted FK lives in
+        # _make_dct_only_phase). None when nothing prunes (dense
+        # models) keeps single-call reference semantics.
         prune = (self._contact_prune
-                 if phase in ("local_a", "global_a") else None)
+                 if phase in ("local_a", "global_a", "global_b",
+                              "dct_b") else None)
         t = self.terms(state, target_6d, frame_weights, ctx, prune=prune)
         # t.collision is 0 unless a scene SDF was supplied; it rides
         # with the contact term in every contact-bearing phase (the
@@ -653,10 +676,12 @@ class ClipSolver:
 
         @jax.jit
         def run(ctx, state, opt_state, target_6d, frame_weights):
-            # joints need no full-mesh skinning: restrict the vertex
-            # output to the (already-needed) contact subset
+            # joints need no skinning at all: with prune, the vertex
+            # call is dead code and the joints FK stops at the body
+            # subtree (forward_world _BODY_JOINTS)
             _, joints_w, _ = forward_world(
-                ctx, state, vertex_subset=self.contact_vids)
+                ctx, state, vertex_subset=self.contact_vids,
+                prune=self._contact_prune)
             joints_w = jax.lax.stop_gradient(joints_w)
 
             def loss_fn(c_dct):

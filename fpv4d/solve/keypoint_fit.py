@@ -178,11 +178,11 @@ def fit_keypoints(model: SmplxModel, vposer_params: Dict[str, jnp.ndarray],
             and jax.default_backend() == "tpu"
             and not config.allow_slow_perframe):
         # Measured on v5e (tools/kp_bench.py, T=900): 22 frames/s —
-        # ~3x slower than 'lbfgs' (46 f/s) at essentially identical
+        # ~2x slower than 'lbfgs' (46 f/s) at essentially identical
         # recovery (18.0 vs 17.4 mm MPJPE). Opt in explicitly if the
         # per-frame curvature form is really wanted on TPU.
         raise ValueError(
-            "optimizer='lbfgs_perframe' is ~3x slower than 'lbfgs' on "
+            "optimizer='lbfgs_perframe' is ~2x slower than 'lbfgs' on "
             "TPU at equal recovery (22 vs 46 frames/s measured at "
             "T=900); use optimizer='lbfgs', or set "
             "allow_slow_perframe=True to override.")

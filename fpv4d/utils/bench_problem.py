@@ -78,6 +78,42 @@ def cached_synthetic_model(num_verts: int, cache_dir: str, seed: int = 0):
     return model
 
 
+def keypoint_problem(model, vp, T: int, num_iter: int = 120,
+                     noise_px: float = 2.0, seed: int = 1):
+    """The standard keypoint-fit benchmark target: VPoser-decoded GT
+    poses at z=3 m, projected to BODY_25 pixels with `noise_px` pixel
+    noise. ONE constructor shared by bench.py and tools/kp_bench.py so
+    their workloads are identical — r4's artifact carried two
+    irreconcilable Adam numbers (272.6 vs 63.4 frames/s) from two
+    similar-but-separate constructors (VERDICT r4 ask #4).
+
+    Returns (kp [T,25,3] float32 np.ndarray, KeypointFitConfig)."""
+    import jax.numpy as jnp
+    from fpv4d.config import KeypointFitConfig
+    from fpv4d.models import vposer as VPm
+    from fpv4d.solve.keypoint_fit import BODY25_FROM_SMPLX, project
+
+    kcfg = KeypointFitConfig(num_iter=num_iter)
+    rng = np.random.RandomState(seed)
+    valid = BODY25_FROM_SMPLX >= 0
+    ids = np.where(valid, BODY25_FROM_SMPLX, 0)
+    lat = jnp.asarray(rng.randn(T, 32).astype(np.float32) * 0.3)
+    out_gt = model(betas=jnp.zeros((T, model.num_betas)),
+                   global_orient=jnp.zeros((T, 3)),
+                   body_pose=VPm.decode(vp, lat))
+    j_cam = np.asarray(out_gt["joints"])[:, ids] + np.array(
+        [0.0, 0.0, 3.0], np.float32)
+    center = jnp.asarray([kcfg.image_size[0] / 2,
+                          kcfg.image_size[1] / 2])
+    j2d = np.asarray(project(jnp.asarray(j_cam), kcfg.focal_length,
+                             center))
+    kp = np.concatenate(
+        [j2d + rng.randn(*j2d.shape).astype(np.float32) * noise_px,
+         np.tile(valid.astype(np.float32)[None, :, None], (T, 1, 1))],
+        -1).astype(np.float32)
+    return kp, kcfg
+
+
 def standard_problem(T: int = 900, num_verts: int = 10475,
                      scene_pts: int = 100_489, num_iter: int = 500,
                      num_iter_dct: int = 10000, skate_subset: int = 2048,

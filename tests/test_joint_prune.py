@@ -185,6 +185,48 @@ def test_local_solve_matches_unpruned():
                                atol=1e-4, rtol=1e-3)
 
 
+def test_body_subtree_joints_match_full_chain():
+    """forward_world's pruned-path joints come from a 23-joint
+    body-subtree FK (r5, clip_solve._BODY_JOINTS) — they must equal
+    the full 55-joint chain's joints[:, :23] to f32 order."""
+    sc = _sparse_scenario()
+    s = _solver(sc)
+    state, _, _ = s.init_state(sc["body"], sc["camera_ext"])
+    _, j_full, _ = forward_world(s.ctx, state,
+                                 vertex_subset=s.contact_vids)
+    _, j_pruned, _ = forward_world(s.ctx, state,
+                                   vertex_subset=s.contact_vids,
+                                   prune=s._contact_prune)
+    assert j_pruned.shape == j_full.shape == (8, 23, 3)
+    assert np.all(np.isfinite(np.asarray(j_pruned)))
+    np.testing.assert_allclose(np.asarray(j_pruned),
+                               np.asarray(j_full),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_dct_solve_matches_unpruned():
+    """dct mode reads joints (dct term) AND contact verts (dct_b):
+    with r5 pruning it runs a leg-chain vertex FK + a body-subtree
+    joints FK — trajectories must match the unpruned single-call path
+    to f32 summation order."""
+    sc = _sparse_scenario()
+    s_on = _solver(sc)
+    s_off = _solver(sc)
+    s_off._contact_prune = None
+    import dataclasses
+    for s in (s_on, s_off):
+        s.config = dataclasses.replace(s.config, num_iter_dct=12)
+    st_on, h_on = s_on.fit(sc["body"], sc["camera_ext"], mode="dct")
+    st_off, h_off = s_off.fit(sc["body"], sc["camera_ext"], mode="dct")
+    for k in h_on:
+        assert np.all(np.isfinite(h_on[k])), k
+        np.testing.assert_allclose(h_on[k], h_off[k], rtol=2e-4,
+                                   atol=1e-5, err_msg=k)
+    np.testing.assert_allclose(np.asarray(st_on.body_6d),
+                               np.asarray(st_off.body_6d),
+                               atol=1e-4, rtol=1e-3)
+
+
 def test_joints_reading_phase_unaffected():
     """global mode reads joints_w (world_smooth): pruning must leave it
     on the full-chain path — finite losses, identical to unpruned."""

@@ -106,9 +106,15 @@ def test_multi_clip_fit_runs(setup):
     state_b, hist = mc.fit(bodies, cams, jnp.asarray(scenes),
                            mode="global", timings=tms)
     assert set(hist) == {"global_a", "global_b"}
-    # the fenced attribution run records every stage it executed
+    # the fenced attribution run records every stage it executed,
+    # plus per-stage fence counts under '_fences' (r5: callers
+    # calibrate the per-fence readback overhead out)
+    fences = tms.pop("_fences")
     assert {"init", "global_a", "global_b"} <= set(tms)
     assert all(v > 0 for v in tms.values())
+    assert set(fences) == set(tms)
+    assert all(isinstance(n, int) and n >= 1 for n in fences.values())
+    assert fences["init"] == 1
     assert hist["global_a"].shape[1] == C
     results = mc.result_params(state_b)
     assert len(results) == C

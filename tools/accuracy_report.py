@@ -98,7 +98,12 @@ def run(frames: int = 30, num_verts: int = 512, noise_px: float = 2.0,
 
     kp_results = {}
     for opt_name in ([] if skip_keypoint else optimizers):
-        kcfg = KeypointFitConfig(num_iter=args.iters, optimizer=opt_name)
+        # allow_slow_perframe: this tool measures the guarded form on
+        # request, mirroring tools/kp_bench.py (ADVICE r4: without the
+        # opt-in the TPU guard made --optimizer lbfgs_perframe raise)
+        kcfg = KeypointFitConfig(
+            num_iter=args.iters, optimizer=opt_name,
+            allow_slow_perframe=(opt_name == "lbfgs_perframe"))
         params, hist = fit_keypoints(model, vp, jnp.asarray(kp), kcfg)
         d = P.split(jnp.asarray(params))
         pose_fit = VP.decode(vp, d["body_pose"])
@@ -259,6 +264,16 @@ def main():
                     choices=["adam", "lbfgs", "lbfgs_perframe", "both"])
     ap.add_argument("--deep-iters", type=int, default=0,
                     help="extra clip-solve row at this num_iter")
+    ap.add_argument("--frontier-iters", type=int, default=0,
+                    help="extra clip-solve-only row at this num_iter "
+                         "with --frontier-rec: the measured accuracy "
+                         "frontier MINIMUM (800 iters, rec 0.25 -> "
+                         "~34 mm on the 24-frame fixture; past it, "
+                         "over-smoothing reverses — PERFORMANCE.md "
+                         "r4). Pinned in the bench artifact so a "
+                         "frontier regression breaks the round "
+                         "(VERDICT r4 ask #6).")
+    ap.add_argument("--frontier-rec", type=float, default=0.25)
     ap.add_argument("--sweep", action="store_true",
                     help="accuracy-vs-time/weights frontier: clip "
                          "solve only, over iters x rec-weight")
@@ -282,9 +297,21 @@ def main():
                       file=sys.stderr)
         print(json.dumps({"sweep": rows}))
         return
-    print(json.dumps(run(a.frames, a.num_verts, a.noise_px,
-                         a.body_noise, a.iters, a.optimizer,
-                         a.deep_iters)))
+    out = run(a.frames, a.num_verts, a.noise_px, a.body_noise,
+              a.iters, a.optimizer, a.deep_iters)
+    if a.frontier_iters:
+        fr = run(a.frames, a.num_verts, a.noise_px, a.body_noise,
+                 a.iters, clip_iters=a.frontier_iters,
+                 rec_weight=a.frontier_rec, skip_keypoint=True)
+        out["frontier"] = {
+            "clip_iters": a.frontier_iters,
+            "rec_weight": a.frontier_rec,
+            "mpjpe_mm_after": fr["clip_solve_mpjpe_mm_after"],
+            "jitter_mm_solved": fr["jitter_mm_solved"]}
+        print(f"[accuracy] frontier ({a.frontier_iters} iters, "
+              f"rec={a.frontier_rec}): "
+              f"{fr['clip_solve_mpjpe_mm_after']} mm", file=sys.stderr)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

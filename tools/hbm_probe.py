@@ -103,6 +103,17 @@ def main():
            "first_failing_c": hi,
            "implied_gb_per_clip": (round(16.0 / lo, 2) if lo else None),
            "points": {str(k): v for k, v in sorted(results.items())}}
+    # persist beside bench_out.json: bench.py folds the latest record
+    # into extras.multi_clip.hbm_probe (the probe must run AFTER bench
+    # — it drives the chip to OOM — so the fold-in is one run behind;
+    # tools/round_close.sh re-folds it into bench_out.json same-round)
+    if os.environ.get("FPV4D_BENCH_SMALL") != "1":
+        out_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "hbm_probe_out.json")
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"[hbm_probe] -> {out_path}", file=sys.stderr)
     print(json.dumps(out))
 
 

@@ -77,4 +77,27 @@ echo "[round_close] step 4 (LAST, OOM risk): hbm probe"
 timeout 7200 python tools/hbm_probe.py > >(tee .round_close/hbm_probe.log) 2>&1 \
     || echo "[round_close] hbm_probe failed (tolerated: it is last)" >&2
 
+# fold the freshly-probed HBM record into THIS round's bench_out.json
+# (bench ran before the probe; without this the artifact is one round
+# behind — VERDICT r4 weak #2). Pure-host JSON edit, TPU untouched.
+python - <<'EOF'
+import json, os
+root = os.path.dirname(os.path.dirname(os.path.abspath("tools")))
+try:
+    hbm = json.load(open("hbm_probe_out.json"))
+    d = json.load(open("bench_out.json"))
+    d.setdefault("extras", {}).setdefault("multi_clip", {})["hbm_probe"] = hbm
+    json.dump(d, open("bench_out.json", "w"), indent=1)
+    print("[round_close] hbm_probe folded into bench_out.json")
+except Exception as e:
+    print(f"[round_close] hbm fold-in skipped: {e}")
+EOF
+
+# commit the round artifacts (VERDICT r4 ask #8: bench_out.json was
+# left uncommitted at r4 snapshot time)
+git add -A bench_out.json kp_bench_out.json hbm_probe_out.json 2>/dev/null
+git commit -m "Round-close bench artifacts" --only \
+    bench_out.json kp_bench_out.json hbm_probe_out.json 2>/dev/null \
+    || echo "[round_close] artifact commit skipped (no changes)"
+
 echo "[round_close] done — logs in .round_close/, results in bench_out.json"
