@@ -202,11 +202,22 @@ class MultiClipSolver:
             leaves = [x for x in jax.tree.leaves(out)
                       if hasattr(x, "dtype")]
             if leaves:
-                # ONE scalar readback: every stage is a single
-                # compiled dispatch (r5 — init_batch included), whose
-                # output leaves become ready together, so fencing
-                # leaf 0 fences the stage
-                float(leaves[0].reshape(-1)[0])
+                # ONE readback: every stage is a single compiled
+                # dispatch (r5 — init_batch included), whose output
+                # leaves become ready together, so fencing any leaf
+                # fences the stage. Fence the SMALLEST leaf: a small
+                # leaf D2Hs directly (np.asarray — no on-device
+                # program), while reshape(-1)[0] on a big leaf is an
+                # eager slice op that must COMPILE per aval — ~60 s
+                # of remote AOT the first time, which r5's first
+                # attribution run mis-charged to 'init' (12.8 s) and
+                # the calibration then smeared as a fictitious 830
+                # ms/fence overhead.
+                leaf = min(leaves, key=lambda x: x.size)
+                if leaf.size <= 65536:
+                    np.asarray(leaf)
+                else:
+                    float(leaf.reshape(-1)[0])
             timings[key] = timings.get(key, 0.0) \
                 + _time.perf_counter() - t0
             fences = timings.setdefault("_fences", {})
