@@ -130,7 +130,8 @@ _BODY_JOINTS = np.arange(23, dtype=np.int32)
 
 
 def forward_world(ctx: Ctx, state: ClipState,
-                  vertex_subset=None, prune=None
+                  vertex_subset=None, prune=None,
+                  merge_joints: bool = False
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
     """body_6d -> world-space vertices [T,V,3] and joints [T,23,3].
 
@@ -154,7 +155,18 @@ def forward_world(ctx: Ctx, state: ClipState,
     so contact-only phases (local_a/global_a/skate/refresh) never pay
     the body chain at all, and joints-reading phases (global_b/dct_b/
     the dct_a hoist) never pay the hand chains.
-    Exact: pruning drops exactly-zero terms only (f32 sum order)."""
+    Exact: pruning drops exactly-zero terms only (f32 sum order).
+
+    merge_joints (with prune): phases whose loss reads BOTH outputs
+    (dct_b: contact verts + DCT joints) would pay the leg-subtree FK
+    AND the body-subtree FK under the two-call form — but the body
+    chain already contains every leg transform, so ONE call with
+    joint_subset = leg-support ∪ body serves both outputs. Exact for
+    the same reason pruning is: the extra kept joints multiply the
+    subset's exactly-zero skinning-weight columns (a +0.0 into the
+    LBS sum). Verts-only phases must NOT merge — their joints output
+    is dead code, and merging would deepen the live vertex FK from
+    the depth-5 leg chain to the depth-8 body chain for nothing."""
     # decode straight from the 78-d layout (P.split_6d — canonical
     # slot table in fpv4d.models.params): rotations flow as MATRICES
     # end to end — the 6D orient slot and VPoser's 6D decode both
@@ -174,6 +186,15 @@ def forward_world(ctx: Ctx, state: ClipState,
     if prune is None:
         out = ctx.model(**common, vertex_subset=vertex_subset)
         verts, joints = out["vertices"], out["joints"]
+    elif merge_joints:
+        js = prune[0]
+        if js is not None:
+            js = np.union1d(np.asarray(js),
+                            _BODY_JOINTS).astype(np.int32)
+        out_m = ctx.model(**common, vertex_subset=vertex_subset,
+                          joint_subset=js,
+                          pose_joint_subset=prune[1])
+        verts, joints = out_m["vertices"], out_m["joints"]
     else:
         out_v = ctx.model(**common, vertex_subset=vertex_subset,
                           joint_subset=prune[0],
@@ -301,19 +322,23 @@ class ClipSolver:
 
     def terms(self, state: ClipState, target_6d: jnp.ndarray,
               frame_weights: jnp.ndarray,
-              ctx: Optional[Ctx] = None, prune=None) -> Terms:
+              ctx: Optional[Ctx] = None, prune=None,
+              merge_joints: bool = False) -> Terms:
         """All six cal_loss terms (global_optimization.py:249-312).
 
         prune: optional joint-support pruning for the VERTEX forward
         (forward_world docstring) — pass only from phases whose loss
         reads verts_w but not joints_w, so the full-chain joints call
-        is dead code XLA removes."""
+        is dead code XLA removes. merge_joints: for phases reading
+        BOTH outputs (dct_b), serve them from one body-subtree call
+        (forward_world docstring)."""
         ctx = self.ctx if ctx is None else ctx
         w = self.config.weights
         # skin only the contact vertices — everything else the loss
         # reads (joints, params) doesn't need the other ~10k verts
         verts_w, joints_w, aux = forward_world(
-            ctx, state, vertex_subset=self.contact_vids, prune=prune)
+            ctx, state, vertex_subset=self.contact_vids, prune=prune,
+            merge_joints=merge_joints)
         rec = w.rec * losses.rec_l1(target_6d, state.body_6d, frame_weights)
         vposer = w.vposer * losses.vposer_prior(aux["latent"])
         smooth = losses.second_order_smoothness(state.body_6d)
@@ -553,7 +578,13 @@ class ClipSolver:
         prune = (self._contact_prune
                  if phase in ("local_a", "global_a", "global_b",
                               "dct_b") else None)
-        t = self.terms(state, target_6d, frame_weights, ctx, prune=prune)
+        # dct_b reads verts AND joints: one merged body-subtree call
+        # instead of leg-FK + body-FK (forward_world merge_joints).
+        # global_b merges too — its verts are dead code either way, so
+        # the merged program is identical after DCE (and the joints
+        # half is the same _BODY_JOINTS chain).
+        t = self.terms(state, target_6d, frame_weights, ctx, prune=prune,
+                       merge_joints=phase in ("dct_b", "global_b"))
         # t.collision is 0 unless a scene SDF was supplied; it rides
         # with the contact term in every contact-bearing phase (the
         # reference's weight_collision shipped beside weight_contact)

@@ -227,6 +227,44 @@ def test_dct_solve_matches_unpruned():
                                atol=1e-4, rtol=1e-3)
 
 
+def test_merged_call_matches_two_call_path():
+    """forward_world(merge_joints=True) serves verts AND joints from
+    ONE body-subtree model call (r5, dct_b's recipe) — both outputs
+    must match the two-call pruned path and the unpruned single-call
+    path to f32 summation order, and gradients through both outputs
+    must agree."""
+    sc = _sparse_scenario()
+    s = _solver(sc)
+    state, _, _ = s.init_state(sc["body"], sc["camera_ext"])
+    v_two, j_two, _ = forward_world(s.ctx, state,
+                                    vertex_subset=s.contact_vids,
+                                    prune=s._contact_prune)
+    v_one, j_one, _ = forward_world(s.ctx, state,
+                                    vertex_subset=s.contact_vids,
+                                    prune=s._contact_prune,
+                                    merge_joints=True)
+    assert np.all(np.isfinite(np.asarray(v_one)))
+    assert np.all(np.isfinite(np.asarray(j_one)))
+    np.testing.assert_allclose(np.asarray(v_one), np.asarray(v_two),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(j_one), np.asarray(j_two),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss(fw_kwargs):
+        def f(b6d):
+            st = state._replace(body_6d=b6d)
+            v, j, _ = forward_world(s.ctx, st,
+                                    vertex_subset=s.contact_vids,
+                                    **fw_kwargs)
+            return jnp.sum(v ** 2) + jnp.sum(j ** 2)
+        return jax.grad(f)(state.body_6d)
+
+    g_two = loss(dict(prune=s._contact_prune))
+    g_one = loss(dict(prune=s._contact_prune, merge_joints=True))
+    np.testing.assert_allclose(np.asarray(g_one), np.asarray(g_two),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_joints_reading_phase_unaffected():
     """global mode reads joints_w (world_smooth): pruning must leave it
     on the full-chain path — finite losses, identical to unpruned."""
