@@ -185,6 +185,87 @@ def main():
         "nn batched", run,
         ((verts0_b, opt.init(verts0_b)), (cands_b, ctx1.scene)), C)
 
+    # ---- skate step (the post-r4 fleet offender: 6.04 batched vs
+    # 4.72 single ms/clip-step in BENCH_r04) --------------------------
+    from fpv4d.solve.clip_solve import _grad_mask
+    skate_mask = _grad_mask(body=True)
+    wr = solver.detect_contact(state)
+    wr_b = jnp.broadcast_to(wr, (C,) + wr.shape)
+
+    def skate_1(st_, tgt, wts, wr_, ctx):
+        rec, ls, vs, sk = solver.terms2(
+            mask_stop_gradient(st_, skate_mask), tgt, wts, wr_, ctx)
+        return vs + ls + rec + sk
+
+    run, opt = scan_of(skate_1)
+    results["skate_single"] = timed("skate single", run,
+                                    ((state, opt.init(state)),
+                                     (target, weights, wr, ctx1)), 1)
+
+    def skate_b(st_b, tgt_b, wts_b, wr_bb, ctx):
+        def per_clip(st_, tgt, wts, wr_):
+            rec, ls, vs, sk = solver.terms2(
+                mask_stop_gradient(st_, skate_mask), tgt, wts, wr_,
+                ctx)
+            return vs + ls + rec + sk
+        return jnp.sum(jax.vmap(per_clip)(st_b, tgt_b, wts_b, wr_bb))
+
+    run, opt = scan_of(skate_b)
+    results["skate_batched"] = timed(
+        "skate batched", run,
+        ((state_b, opt.init(state_b)),
+         (target_b, weights_b, wr_b, ctx1)), C)
+
+    # skate sub-splits: the 2900-vert LBS chain alone, and the
+    # [T,V,3] second-order smoothing alone on free vertex variables —
+    # whichever inherits a batching tax names the skate offender
+    def skate_model_1(st_, ctx):
+        v, _, _ = forward_world(ctx, mask_stop_gradient(st_, skate_mask),
+                                vertex_subset=solver._skate_vids,
+                                prune=solver._skate_prune)
+        return jnp.sum(v * 1e-6)
+
+    run, opt = scan_of(skate_model_1)
+    results["skate_model_single"] = timed(
+        "skate model single", run, ((state, opt.init(state)), (ctx1,)),
+        1)
+
+    def skate_model_b(st_b, ctx):
+        def per_clip(st_):
+            v, _, _ = forward_world(
+                ctx, mask_stop_gradient(st_, skate_mask),
+                vertex_subset=solver._skate_vids,
+                prune=solver._skate_prune)
+            return jnp.sum(v * 1e-6)
+        return jnp.sum(jax.vmap(per_clip)(st_b))
+
+    run, opt = scan_of(skate_model_b)
+    results["skate_model_batched"] = timed(
+        "skate model batched", run,
+        ((state_b, opt.init(state_b)), (ctx1,)), C)
+
+    sverts0, _, _ = forward_world(ctx1, state,
+                                  vertex_subset=solver._skate_vids,
+                                  prune=solver._skate_prune)
+
+    def smooth_1(v):
+        return losses.second_order_smoothness(v)
+
+    run, opt = scan_of(smooth_1)
+    results["skate_smooth_single"] = timed(
+        "skate smooth single", run, ((sverts0, opt.init(sverts0)), ()),
+        1)
+
+    sverts0_b = jnp.broadcast_to(sverts0, (C,) + sverts0.shape)
+
+    def smooth_b(v_b):
+        return jnp.sum(jax.vmap(losses.second_order_smoothness)(v_b))
+
+    run, opt = scan_of(smooth_b)
+    results["skate_smooth_batched"] = timed(
+        "skate smooth batched", run,
+        ((sverts0_b, opt.init(sverts0_b)), ()), C)
+
     # ---- refresh cost, amortized -------------------------------------
     for name, fn, args, div in (
             ("refresh single", solver._refresh_cands, (state,), 1),
