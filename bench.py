@@ -295,7 +295,11 @@ def main():
     scene_pts = 1024 if small else 100_489      # 317^2 grid
     num_iter = 20 if small else 500
     num_iter_dct = 40 if small else 10000
-    skate_subset = int(os.environ.get("FPV4D_BENCH_SKATE_SUBSET", "2048"))
+    # 1024: the r5 hardware ablation's pick (tools/ablate_skate.py,
+    # ablate_skate_out.json) — the EXACT full-mesh terms at the phase's
+    # final state are flat across 512..full (vert_smooth 0.0050-0.0055;
+    # 1024 lands the best one) while ms/step drops 4.74 -> 3.98
+    skate_subset = int(os.environ.get("FPV4D_BENCH_SKATE_SUBSET", "1024"))
     modes = os.environ.get(
         "FPV4D_BENCH_MODES", "local" if small else "local,global,dct"
     ).split(",")

@@ -116,7 +116,7 @@ def keypoint_problem(model, vp, T: int, num_iter: int = 120,
 
 def standard_problem(T: int = 900, num_verts: int = 10475,
                      scene_pts: int = 100_489, num_iter: int = 500,
-                     num_iter_dct: int = 10000, skate_subset: int = 2048,
+                     num_iter_dct: int = 10000, skate_subset: int = 1024,
                      cache_dir: str | None = None) -> StandardProblem:
     """Build the standard problem at the given sizes (defaults are the
     production/bench shapes; bench's SMALL mode passes tiny ones)."""
