@@ -118,6 +118,50 @@ def clip_batch_shardings(mesh: Mesh, clip_axis: str = "clips",
     )
 
 
+def _skate_flat_loss(solver: ClipSolver):
+    """Single-device fleet skate loss with the clips axis FOLDED into
+    the frame axis for the model chain.
+
+    The clips-vmapped 55-joint FK/LBS lowering pays ~+11% per clip at
+    C=8 (tools/ablate_fleet.py skate_model rows — the same batched-dot
+    layout tax the candidate NN fixed with its custom_vmap flatten
+    rule, PERFORMANCE.md r4), and the skate forward is frame-parallel:
+    folding [C,T] -> [C*T] recovers the single-clip lowering exactly.
+    The temporal terms (second-order smoothing, foot skate) stay
+    per-clip on the reshaped outputs, so no difference crosses a clip
+    boundary. Only valid on a ONE-DEVICE mesh: on a real multi-chip
+    mesh the reshape would merge sharded axes and buy an all-gather
+    instead of a layout fix (build_sharded_step gates on mesh size)."""
+    from fpv4d.ops import losses as L
+    w = solver.config.weights
+
+    def loss(state_b, target_b, weights_b, wr_b, ctx):
+        C, T = state_b.body_6d.shape[:2]
+        st_flat = ClipState(
+            body_6d=state_b.body_6d.reshape(C * T, -1),
+            scale=jnp.repeat(state_b.scale, T),
+            camera_ext=state_b.camera_ext.reshape(C * T, 4, 4),
+            c_dct=state_b.c_dct)           # unused by the skate terms
+        from fpv4d.solve.clip_solve import forward_world
+        verts_flat, _, _ = forward_world(
+            ctx, st_flat, vertex_subset=solver._skate_vids,
+            prune=solver._skate_prune)
+        verts_b = verts_flat.reshape((C, T) + verts_flat.shape[1:])
+
+        def per_clip(verts_w, body_6d, tgt, wts, wr_):
+            rec = w.rec * L.rec_l1(tgt, body_6d, wts)
+            local_s = L.second_order_smoothness(body_6d)
+            vert_s = L.second_order_smoothness(verts_w)
+            skate = L.foot_skate(verts_w[:, solver._skate_left],
+                                 verts_w[:, solver._skate_right], wr_)
+            return vert_s + local_s + rec + skate
+
+        return jax.vmap(per_clip)(verts_b, state_b.body_6d, target_b,
+                                  weights_b, wr_b)
+
+    return loss
+
+
 def _per_clip_loss(solver: ClipSolver, phase: str):
     """Per-clip loss closure for a phase. `extra` threads phase-specific
     per-clip data ('skate' needs the planted-foot weights [T])."""
@@ -169,6 +213,12 @@ def build_sharded_step(solver: ClipSolver, mesh: Mesh, phase: str = "local_a",
     mask = (_skate_mask() if phase == "skate"
             else solver.phase_mask(phase))
     use_grid = grid_b is not None and solver.nn_impl == "grid"
+    # one-device mesh: fold clips into frames for the skate model
+    # chain (_skate_flat_loss docstring — on a real mesh the reshape
+    # would cross sharded axes, so multi-device keeps the vmap form)
+    flat_skate = (_skate_flat_loss(solver)
+                  if phase == "skate" and mesh.devices.size == 1
+                  else None)
     clip_loss = _per_clip_loss(solver, phase)
     extra_ax = 0 if phase == "skate" else None
     grid_ax = _grid_in_axes(grid_b)
@@ -180,6 +230,10 @@ def build_sharded_step(solver: ClipSolver, mesh: Mesh, phase: str = "local_a",
 
     def batched_loss(ctx_base, scene_b, grid_b, sdf_b, state_b,
                      target_b, weights_b, extra_b):
+        if flat_skate is not None:
+            losses = flat_skate(state_b, target_b, weights_b, extra_b,
+                                ctx_base)
+            return jnp.sum(losses), losses
         # per-clip scene/grid/sdf ride the vmapped axes; the shared
         # model tables broadcast (in_axes=None leaves)
         if use_grid:

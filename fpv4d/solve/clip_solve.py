@@ -202,9 +202,15 @@ def forward_world(ctx: Ctx, state: ClipState,
         out_j = ctx.model(**common, vertex_subset=_DUMMY_VERT,
                           joint_subset=_BODY_JOINTS)
         verts, joints = out_v["vertices"], out_j["joints"]
+    # scale is normally the per-clip scalar; a [T] vector is accepted
+    # for the clips-folded fleet form (parallel.sharding flattens
+    # [C,T] -> [C*T] frames and repeats each clip's scale per frame)
+    s = state.scale
+    s_t = s[:, None] if getattr(s, "ndim", 0) else s
+    s_v = s[:, None, None] if getattr(s, "ndim", 0) else s
     b2w = transforms.body2world(state.camera_ext,
-                                d["camera_translation"], state.scale)
-    verts_w = transforms.transform_points(verts * state.scale, b2w)
+                                d["camera_translation"], s_t)
+    verts_w = transforms.transform_points(verts * s_v, b2w)
     joints_w = transforms.transform_points(joints[:, :23], b2w)
     return verts_w, joints_w, {"latent": latent}
 

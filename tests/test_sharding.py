@@ -148,6 +148,29 @@ def test_multi_clip_fit_matches_per_clip(setup):
                                        atol=2e-5)
 
 
+def test_multi_clip_flat_skate_matches_per_clip(setup):
+    """On a ONE-device mesh the fleet skate step folds clips into the
+    frame axis for the model chain (sharding._skate_flat_loss — the
+    r5 fix for the +11% clips-vmapped FK/LBS tax). Trajectories must
+    still reproduce per-clip ClipSolver.fit exactly (f32 order)."""
+    s, solver = setup
+    C, T = 2, 8
+    bodies, cams, scenes = _batch(s, C, T)
+    mesh = SH.make_mesh({"clips": 1})
+    assert mesh.devices.size == 1
+    mc = MultiClipSolver(solver=solver, mesh=mesh, frame_axis=None)
+    state_b, hist = mc.fit(bodies, cams, jnp.asarray(scenes),
+                           mode="local")
+    assert "local_skate" in hist
+    for c in range(C):
+        state_c, hist_c = solver.fit(bodies[c], cams[c], mode="local")
+        np.testing.assert_allclose(np.asarray(state_b.body_6d[c]),
+                                   np.asarray(state_c.body_6d),
+                                   atol=2e-5)
+        np.testing.assert_allclose(hist["local_skate"][:, c],
+                                   hist_c["local_skate"], atol=2e-5)
+
+
 def test_pad_scenes_far_points():
     a = np.zeros((5, 3), np.float32)
     b = np.ones((3, 3), np.float32)
