@@ -356,6 +356,46 @@ def frame_candidates(grid: VoxelGrid, q: jnp.ndarray,
     return FrameCands(cand=cand, valid=valid)
 
 
+def frame_candidates_folded(grid_b: VoxelGrid, q_flat: jnp.ndarray,
+                            C: int, budget: int = 64) -> FrameCands:
+    """frame_candidates over a BATCHED VoxelGrid with the clips axis
+    folded into frames: q_flat [C*T, N, 3] against grid_b (leaves
+    [C, ...], shared static dims/h from build_voxel_grid_batch) ->
+    FrameCands [C*T, P, ...].
+
+    The clips-vmapped form gathers each clip's rows from its OWN
+    table — a batched gather, which TPUs lower badly (the fleet's
+    batched refresh measured ~6x the per-clip single cost). Folding
+    concatenates the per-clip tables row-wise and offsets each
+    frame's cell ids by its clip's table start, so ONE flat row
+    gather serves every clip — the single-clip lowering. Exact: the
+    offset indexes the identical per-clip rows. Only for one-device
+    meshes (on a real mesh the per-shard tables never batch)."""
+    CT, N, _ = q_flat.shape
+    T = CT // C
+    K = grid_b.cand_pts.shape[-2]
+    num_cells = grid_b.cand_pts.shape[-3]
+    dims = jnp.asarray(grid_b.dims, dtype=jnp.int32)
+    origin_f = jnp.repeat(grid_b.origin, T, axis=0)        # [CT, 3]
+    cell = jnp.clip(
+        jnp.floor((q_flat - origin_f[:, None, :]) / grid_b.h)
+        .astype(jnp.int32), 0, dims - 1)
+    flat = (cell[..., 0] * grid_b.dims[1] + cell[..., 1]) \
+        * grid_b.dims[2] + cell[..., 2]                    # [CT, N]
+    uniq = jax.vmap(
+        lambda f: jnp.unique(f, size=budget, fill_value=_FILL_CELL)
+    )(flat)                                                # [CT, B]
+    offs = jnp.repeat(
+        jnp.arange(C, dtype=jnp.int32) * num_cells, T)     # [CT]
+    safe_u = jnp.minimum(uniq, num_cells - 1) + offs[:, None]
+    pts_flat = grid_b.cand_pts.reshape(C * num_cells, K, 3)
+    idx_flat = grid_b.cand_idx.reshape(C * num_cells, K)
+    cand = pts_flat[safe_u].reshape(CT, budget * K, 3)
+    valid = (idx_flat[safe_u] >= 0).reshape(CT, budget * K) \
+        & (uniq < _FILL_CELL).repeat(K, axis=-1)
+    return FrameCands(cand=cand, valid=valid)
+
+
 from jax import custom_batching as _custom_batching  # noqa: E402
 
 

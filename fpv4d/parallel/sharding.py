@@ -118,6 +118,18 @@ def clip_batch_shardings(mesh: Mesh, clip_axis: str = "clips",
     )
 
 
+def _flatten_state(state_b: ClipState) -> ClipState:
+    """[C, T, ...] batched state -> [C*T, ...] frames-folded state for
+    the frame-parallel model chain (per-clip scale repeats per frame;
+    c_dct is never read by folded consumers)."""
+    C, T = state_b.body_6d.shape[:2]
+    return ClipState(
+        body_6d=state_b.body_6d.reshape(C * T, -1),
+        scale=jnp.repeat(state_b.scale, T),
+        camera_ext=state_b.camera_ext.reshape(C * T, 4, 4),
+        c_dct=state_b.c_dct)
+
+
 def _skate_flat_loss(solver: ClipSolver):
     """Single-device fleet skate loss with the clips axis FOLDED into
     the frame axis for the model chain.
@@ -137,11 +149,7 @@ def _skate_flat_loss(solver: ClipSolver):
 
     def loss(state_b, target_b, weights_b, wr_b, ctx):
         C, T = state_b.body_6d.shape[:2]
-        st_flat = ClipState(
-            body_6d=state_b.body_6d.reshape(C * T, -1),
-            scale=jnp.repeat(state_b.scale, T),
-            camera_ext=state_b.camera_ext.reshape(C * T, 4, 4),
-            c_dct=state_b.c_dct)           # unused by the skate terms
+        st_flat = _flatten_state(state_b)
         from fpv4d.solve.clip_solve import forward_world
         verts_flat, _, _ = forward_world(
             ctx, st_flat, vertex_subset=solver._skate_vids,
@@ -429,8 +437,27 @@ def build_sharded_refresh(solver: ClipSolver, mesh: Mesh,
     sh = clip_batch_shardings(mesh, clip_axis, frame_axis)
     budget = solver.config.contact_cell_budget
     grid_ax = _grid_in_axes(grid_b)
+    # one-device mesh: fold clips into frames — the clips-vmapped
+    # refresh pays a batched row gather from per-clip tables (~6x the
+    # per-clip single cost, BENCH r5 attribution); the folded form
+    # offsets cell ids into the concatenated tables and recovers the
+    # single-clip gather lowering (NN.frame_candidates_folded)
+    fold = (mesh.devices.size == 1
+            and isinstance(grid_b, NN.VoxelGrid))
 
     def batched(ctx_base, scene_b, grid_arg, state_b):
+        if fold:
+            C, T = state_b.body_6d.shape[:2]
+            st_flat = _flatten_state(state_b)
+            verts_flat, _, _ = forward_world(
+                ctx_base, st_flat, vertex_subset=solver.contact_vids,
+                prune=solver._contact_prune)
+            fc = NN.frame_candidates_folded(grid_arg, verts_flat, C,
+                                            budget)
+            return NN.FrameCands(
+                cand=fc.cand.reshape((C, T) + fc.cand.shape[1:]),
+                valid=fc.valid.reshape((C, T) + fc.valid.shape[1:]))
+
         def one(scene, grid_c, state):
             ctx = Ctx(model=ctx_base.model, vposer=ctx_base.vposer,
                       scene=scene, grid=grid_c)

@@ -148,6 +148,36 @@ def test_multi_clip_fit_matches_per_clip(setup):
                                        atol=2e-5)
 
 
+def test_frame_candidates_folded_matches_per_clip():
+    """NN.frame_candidates_folded (the r5 one-device refresh fold)
+    must reproduce per-clip frame_candidates exactly — including with
+    DIFFERENT per-clip scenes/grids (the offset indexes each clip's
+    own rows of the concatenated table)."""
+    from fpv4d.ops import nn as NN
+    rng = np.random.RandomState(0)
+    C, T, N = 3, 4, 16
+    scenes = [rng.randn(50 + 20 * c, 3).astype(np.float32)
+              for c in range(C)]
+    grid_b = NN.build_voxel_grid_batch(scenes, h=0.5, slots_per_cell=4)
+    q = rng.randn(C, T, N, 3).astype(np.float32)
+    budget = 8
+    folded = NN.frame_candidates_folded(
+        grid_b, jnp.asarray(q.reshape(C * T, N, 3)), C=C,
+        budget=budget)
+    for c in range(C):
+        g_c = NN.VoxelGrid(cand_pts=grid_b.cand_pts[c],
+                           cand_idx=grid_b.cand_idx[c],
+                           origin=grid_b.origin[c],
+                           dims=grid_b.dims, h=grid_b.h)
+        ref = NN.frame_candidates(g_c, jnp.asarray(q[c]), budget)
+        np.testing.assert_array_equal(
+            np.asarray(folded.cand[c * T:(c + 1) * T]),
+            np.asarray(ref.cand), err_msg=f"clip {c}")
+        np.testing.assert_array_equal(
+            np.asarray(folded.valid[c * T:(c + 1) * T]),
+            np.asarray(ref.valid), err_msg=f"clip {c}")
+
+
 def test_multi_clip_flat_skate_matches_per_clip(setup):
     """On a ONE-device mesh the fleet skate step folds clips into the
     frame axis for the model chain (sharding._skate_flat_loss — the
@@ -238,6 +268,37 @@ def test_multi_clip_fit_with_grid(setup):
     state_b, hist = mc.fit(bodies, cams, jnp.asarray(scenes),
                            mode="global")
     assert np.all(np.isfinite(hist["global_a"]))
+
+
+def test_multi_clip_grid_fit_one_device_matches_per_clip(setup):
+    """Full grid-mode local fit on a ONE-device mesh — the production
+    fleet-bench path, which r5 folds clips into frames for BOTH the
+    skate model chain and the candidate refresh — must reproduce
+    per-clip grid-mode ClipSolver.fit trajectories."""
+    import jax.numpy as jnp
+    s, _ = setup
+    cfg = ClipConfig(num_iter=4, window=4, dct_num=2,
+                     contact_refresh_steps=2)
+    solver = ClipSolver(model=s["model"], vposer_params=s["vp"],
+                        scene_verts=np.asarray(s["scene"]),
+                        contact_vids=s["vids"],
+                        contact_vids_left=s["vids_l"],
+                        contact_vids_right=s["vids_r"],
+                        config=cfg, nn_impl="grid", grid_h=0.3)
+    C, T = 2, 8
+    bodies, cams, scenes = _batch(s, C, T)
+    mesh = SH.make_mesh({"clips": 1})
+    mc = MultiClipSolver(solver=solver, mesh=mesh, frame_axis=None)
+    state_b, hist = mc.fit(bodies, cams, jnp.asarray(scenes),
+                           mode="local")
+    for c in range(C):
+        state_c, hist_c = solver.fit(bodies[c], cams[c], mode="local")
+        np.testing.assert_allclose(np.asarray(state_b.body_6d[c]),
+                                   np.asarray(state_c.body_6d),
+                                   atol=2e-5)
+        for k in hist_c:
+            np.testing.assert_allclose(hist[k][:, c], hist_c[k],
+                                       atol=2e-5, err_msg=k)
 
 
 def test_maybe_initialize_distributed_noop(monkeypatch):
