@@ -43,6 +43,16 @@ class MultiClipSolver:
     mesh: Mesh
     clip_axis: str = "clips"
     frame_axis: Optional[str] = "frames"
+    # ONE-device meshes only: run the skate phase in sub-batches of
+    # this many clips. The skate step is HBM-bound (logical bytes
+    # ~2.5x its buffers) and its per-clip cost RISES with the folded
+    # batch size — measured on v5e at T=900, production program:
+    # C=2 3.998, C=4 4.496, C=8 5.017 ms/step/clip vs single-clip
+    # 3.963 (an XLA scheduling/working-set effect, not batching
+    # overhead: the clips-folded and clips-vmapped lowerings measure
+    # the same). Chunking at 2 keeps the phase at single-clip speed;
+    # the chunks share one compiled program. 0 = never chunk.
+    skate_clip_chunk: int = 2
 
     def __post_init__(self):
         # compiled sharded programs, keyed by (phase, steps, shapes):
@@ -169,6 +179,52 @@ class MultiClipSolver:
 
             self._compiled[key] = run
         return self._compiled[key](bodies, camera_exts)
+
+    def _run_skate_chunked(self, state_b, opt_state, target_b,
+                           weights_b, scene_b, extra_b, grid_b,
+                           steps: int, shapes_key, W: int, C: int,
+                           chunk_c: int):
+        """Run the skate phase as C // chunk_c sequential slices of a
+        single compiled C=chunk_c step program (skate_clip_chunk
+        docstring). Exact: per-clip gradients and Adam moments never
+        mix across clips, so slicing the clip axis changes nothing
+        but the XLA schedule."""
+        def _slice(tree, c0, c1, n):
+            return jax.tree.map(
+                lambda x: x[c0:c1]
+                if (hasattr(x, "ndim") and getattr(x, "ndim", 0) > 0
+                    and x.shape[0] == n) else x, tree)
+
+        def _concat(trees, n):
+            return jax.tree.map(
+                lambda *xs: jnp.concatenate(xs)
+                if (hasattr(xs[0], "ndim")
+                    and getattr(xs[0], "ndim", 0) > 0
+                    and xs[0].shape[0] == n) else xs[0], *trees)
+
+        key_c = (chunk_c,) + tuple(shapes_key[1:])
+        step_fn, init_fn = self._get_step("skate", steps, key_c,
+                                          grid_b, dct_windows=W)
+        if opt_state is None:
+            opt_state = self._get_step(
+                "skate", steps, shapes_key, grid_b,
+                dct_windows=W)[1](state_b)
+        outs = []
+        for c0 in range(0, C, chunk_c):
+            c1 = c0 + chunk_c
+            st_c, opt_c, h_c = step_fn(
+                _slice(state_b, c0, c1, C),
+                _slice(opt_state, c0, c1, C),
+                _slice(target_b, c0, c1, C),
+                _slice(weights_b, c0, c1, C),
+                _slice(scene_b, c0, c1, C),
+                _slice(extra_b, c0, c1, C),
+                grid=_slice(grid_b, c0, c1, C))
+            outs.append((st_c, opt_c, h_c))
+        state_b = _concat([o[0] for o in outs], chunk_c)
+        opt_state = _concat([o[1] for o in outs], chunk_c)
+        hist = jnp.concatenate([o[2] for o in outs], axis=1)
+        return state_b, opt_state, hist
 
     def fit(self, bodies: jnp.ndarray, camera_exts: jnp.ndarray,
             scenes: jnp.ndarray, mode: str = "local",
@@ -307,14 +363,29 @@ class MultiClipSolver:
                     left -= k
                 h = np.concatenate(hs)
             else:
-                step_fn, init_fn = self._get_step(phase, steps,
-                                                  shapes_key, grid_b,
-                                                  dct_windows=W)
-                if opt_state is None:
-                    opt_state = init_fn(state_b)
-                state_b, opt_state, h = _fenced(
-                    phase, step_fn, state_b, opt_state, target_b,
-                    weights_b, scene_b, extra_b, grid=grid_b)
+                chunk_c = self.skate_clip_chunk
+                if (phase == "skate" and chunk_c
+                        and self.mesh.devices.size == 1
+                        and C > chunk_c and C % chunk_c == 0):
+                    # clip-chunked skate (skate_clip_chunk docstring):
+                    # same compiled C=chunk program over C//chunk
+                    # sequential slices — per-clip Adam moments are
+                    # independent, so trajectories are identical to
+                    # the one-shot C-wide program
+                    state_b, opt_state, h = _fenced(
+                        phase, self._run_skate_chunked, state_b,
+                        opt_state, target_b, weights_b, scene_b,
+                        extra_b, grid_b, steps, shapes_key, W, C,
+                        chunk_c)
+                else:
+                    step_fn, init_fn = self._get_step(phase, steps,
+                                                      shapes_key, grid_b,
+                                                      dct_windows=W)
+                    if opt_state is None:
+                        opt_state = init_fn(state_b)
+                    state_b, opt_state, h = _fenced(
+                        phase, step_fn, state_b, opt_state, target_b,
+                        weights_b, scene_b, extra_b, grid=grid_b)
                 h = np.asarray(h)
             key = "local_skate" if phase == "skate" else phase
             hist[key] = h

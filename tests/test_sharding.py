@@ -270,6 +270,30 @@ def test_multi_clip_fit_with_grid(setup):
     assert np.all(np.isfinite(hist["global_a"]))
 
 
+def test_multi_clip_chunked_skate_matches_per_clip(setup):
+    """skate_clip_chunk splits the fleet skate phase into sequential
+    clip sub-batches of one compiled program (r5: the HBM-bound skate
+    step's per-clip cost RISES with batch size on hardware). Per-clip
+    Adam moments never mix across clips, so C=4 chunked at 2 must
+    reproduce per-clip ClipSolver.fit trajectories exactly."""
+    s, solver = setup
+    C, T = 4, 8
+    bodies, cams, scenes = _batch(s, C, T)
+    mesh = SH.make_mesh({"clips": 1})
+    mc = MultiClipSolver(solver=solver, mesh=mesh, frame_axis=None,
+                         skate_clip_chunk=2)
+    state_b, hist = mc.fit(bodies, cams, jnp.asarray(scenes),
+                           mode="local")
+    assert hist["local_skate"].shape[1] == C
+    for c in range(C):
+        state_c, hist_c = solver.fit(bodies[c], cams[c], mode="local")
+        np.testing.assert_allclose(np.asarray(state_b.body_6d[c]),
+                                   np.asarray(state_c.body_6d),
+                                   atol=2e-5)
+        np.testing.assert_allclose(hist["local_skate"][:, c],
+                                   hist_c["local_skate"], atol=2e-5)
+
+
 def test_multi_clip_grid_fit_one_device_matches_per_clip(setup):
     """Full grid-mode local fit on a ONE-device mesh — the production
     fleet-bench path, which r5 folds clips into frames for BOTH the
