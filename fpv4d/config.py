@@ -69,6 +69,16 @@ class ClipConfig:
     contact_refresh_steps: int = 50
     # unique-cell budget per frame for the candidate refresh
     contact_cell_budget: int = 64
+    # refresh-time candidate compaction (lazy contact NN only): keep
+    # per frame only the this-many candidates most contended to be
+    # some contact vertex's nearest neighbor (ops/nn.py
+    # compact_candidates — keeps every distinct refresh-time NN while
+    # they number <= the budget; dropped candidates matter only for
+    # queries drifting toward them within a refresh window, the same
+    # benign-staleness regime the tables already accept). The
+    # per-step [T, N, P] contact pass shrinks proportionally.
+    # 0 = off (full budget*slots table — exact current semantics).
+    contact_compact: int = 0
     # per-step candidate-NN implementation: 'auto' (xla_bf16 on TPU,
     # xla elsewhere), 'xla' (fused f32 broadcast-subtract-min),
     # 'xla_bf16' (selection pass in bf16 — winner drift only among

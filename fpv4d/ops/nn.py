@@ -396,6 +396,52 @@ def frame_candidates_folded(grid_b: VoxelGrid, q_flat: jnp.ndarray,
     return FrameCands(cand=cand, valid=valid)
 
 
+def compact_candidates(q: jnp.ndarray, fc: FrameCands,
+                       P_out: int) -> FrameCands:
+    """Shrink a frame's candidate table to the `P_out` candidates most
+    contended to be some query's nearest neighbor.
+
+    score[t, p] = min_n ( d(q[t,n], cand[t,p]) - d_nn(q[t,n]) ): it is
+    exactly 0 for every candidate that IS some query's NN and grows
+    with how far the candidate is from ever winning. Keeping the
+    P_out smallest therefore keeps EVERY distinct refresh-time NN
+    whenever they number <= P_out (tested exactness property); a
+    dropped candidate can only matter for a query that drifts toward
+    it before the next refresh, where the distance error is bounded by
+    the local candidate spacing — the same benign-staleness regime the
+    lazy-refresh tables already accept (frame_candidates docstring).
+    Runs at refresh time, outside the optimizer scan: the per-step
+    [T, N, P] contact pass (nn_to_candidates) then reads a table
+    P/P_out-times smaller. Scoring uses the same bf16 selection pass
+    as the per-step NN (ranking only — near-tie drift just reorders
+    which redundant near-candidates survive); selection is one
+    top_k + the factored one-hot extraction (no row gathers).
+
+    P_out >= P returns fc unchanged. Invalid slots score +inf, so they
+    are kept only when fewer than P_out valid candidates exist — and
+    then keep their valid=False flag.
+    """
+    P = fc.cand.shape[-2]
+    if P_out >= P:
+        return fc
+    qb = q.astype(jnp.bfloat16)
+    cb = fc.cand.astype(jnp.bfloat16)
+    d = _dist_sq_tnp(qb, cb)                               # [T, N, P]
+    d = jnp.where(fc.valid[:, None, :], d,
+                  jnp.asarray(BIG, jnp.bfloat16))
+    dnn = jnp.min(d, axis=-1, keepdims=True)               # [T, N, 1]
+    score = jnp.min(d - dnn, axis=1).astype(jnp.float32)   # [T, P]
+    score = jnp.where(fc.valid, score, jnp.inf)
+    _, idx = jax.lax.top_k(-score, P_out)                  # [T, P_out]
+    # payload = coords + validity in one channel: ONE factored one-hot
+    # selection (_select_nearest is last-dim generic) instead of a
+    # [T*P_out]-row gather (~20 ns/row on TPU)
+    payload = jnp.concatenate(
+        [fc.cand, fc.valid.astype(jnp.float32)[..., None]], -1)
+    sel = _select_nearest(idx, payload)                    # [T,P_out,4]
+    return FrameCands(cand=sel[..., :3], valid=sel[..., 3] > 0.5)
+
+
 from jax import custom_batching as _custom_batching  # noqa: E402
 
 
@@ -541,6 +587,7 @@ def _select_nearest(slot: jnp.ndarray, cand: jnp.ndarray
     Selection through HIGHEST-precision matmuls with exact 0/1
     multipliers is exact (bf16x6 reconstructs f32)."""
     T_, P = cand.shape[0], cand.shape[1]
+    C = cand.shape[-1]
     R = 32
     if P % R or P <= R:
         onehot = (slot[..., None]
@@ -552,7 +599,7 @@ def _select_nearest(slot: jnp.ndarray, cand: jnp.ndarray
           == jnp.arange(G, dtype=slot.dtype)).astype(cand.dtype)
     orr = (slot[..., None] % R
            == jnp.arange(R, dtype=slot.dtype)).astype(cand.dtype)
-    candg = cand.reshape(T_, G, R, 3)
+    candg = cand.reshape(T_, G, R, C)
     # [T, N, R] x [T, G, R, 3] -> [T, N, G, 3] batched matmul
     tmp = jnp.einsum("tnr,tgrc->tngc", orr, candg,
                      precision=jax.lax.Precision.HIGHEST)

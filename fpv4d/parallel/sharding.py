@@ -436,6 +436,7 @@ def build_sharded_refresh(solver: ClipSolver, mesh: Mesh,
 
     sh = clip_batch_shardings(mesh, clip_axis, frame_axis)
     budget = solver.config.contact_cell_budget
+    compact = solver.config.contact_compact
     grid_ax = _grid_in_axes(grid_b)
     # one-device mesh: fold clips into frames — the clips-vmapped
     # refresh pays a batched row gather from per-clip tables (~6x the
@@ -454,6 +455,8 @@ def build_sharded_refresh(solver: ClipSolver, mesh: Mesh,
                 prune=solver._contact_prune)
             fc = NN.frame_candidates_folded(grid_arg, verts_flat, C,
                                             budget)
+            if compact:
+                fc = NN.compact_candidates(verts_flat, fc, compact)
             return NN.FrameCands(
                 cand=fc.cand.reshape((C, T) + fc.cand.shape[1:]),
                 valid=fc.valid.reshape((C, T) + fc.valid.shape[1:]))
@@ -464,7 +467,10 @@ def build_sharded_refresh(solver: ClipSolver, mesh: Mesh,
             verts_w, _, _ = forward_world(
                 ctx, state, vertex_subset=solver.contact_vids,
                 prune=solver._contact_prune)
-            return NN.frame_candidates(grid_c, verts_w, budget)
+            fc = NN.frame_candidates(grid_c, verts_w, budget)
+            if compact:
+                fc = NN.compact_candidates(verts_w, fc, compact)
+            return fc
 
         return jax.vmap(one, in_axes=(0, grid_ax, 0))(
             scene_b, grid_arg, state_b)

@@ -395,6 +395,7 @@ class ClipSolver:
         expensive ops the per-step path must avoid)."""
         if "refresh_cands" not in self._compiled:
             budget = self.config.contact_cell_budget
+            compact = self.config.contact_compact
             pack = self._cand_impl.startswith("pallas")
 
             @jax.jit
@@ -403,6 +404,8 @@ class ClipSolver:
                     ctx, state, vertex_subset=self.contact_vids,
                     prune=self._contact_prune)
                 fc = NN.frame_candidates(ctx.grid, verts_w, budget)
+                if compact:
+                    fc = NN.compact_candidates(verts_w, fc, compact)
                 if pack:
                     return CP.pack_candidates(fc.cand, fc.valid)
                 return fc

@@ -243,6 +243,50 @@ def test_lazy_contact_matches_exact_grid(scenario):
                                        atol=2e-5)
 
 
+def test_compact_candidates_solve_parity(scenario):
+    """contact_compact (refresh-time candidate compaction): the lazy
+    local solve with a compacted table large enough to hold every
+    distinct refresh-time NN tracks the uncompacted lazy solve, and
+    the sharded multi-clip refresh applies the same compaction
+    (sharded == single exactly)."""
+    import jax.numpy as jnp
+    s = scenario
+    kw = dict(model=s["model"], vposer_params=s["vp"],
+              scene_verts=np.asarray(s["scene"]),
+              contact_vids=s["vids"], contact_vids_left=s["vids_l"],
+              contact_vids_right=s["vids_r"], nn_impl="grid",
+              grid_h=0.3)
+    cfg_lazy = ClipConfig(num_iter=8, window=6, dct_num=3,
+                          contact_refresh_steps=4)
+    cfg_comp = ClipConfig(num_iter=8, window=6, dct_num=3,
+                          contact_refresh_steps=4, contact_compact=64)
+    lazy = ClipSolver(config=cfg_lazy, **kw)
+    comp = ClipSolver(config=cfg_comp, **kw)
+    st_l, hist_l = lazy.fit(s["body"], s["camera_ext"], mode="local")
+    st_c, hist_c = comp.fit(s["body"], s["camera_ext"], mode="local")
+    # compacted table shape actually shrank
+    fc = comp._refresh_cands(st_c)
+    assert fc.cand.shape[1] == 64
+    np.testing.assert_allclose(np.asarray(st_c.body_6d),
+                               np.asarray(st_l.body_6d), atol=5e-3)
+
+    from fpv4d.parallel import sharding as SH
+    from fpv4d.parallel.multi_clip import MultiClipSolver, pad_scenes
+    C = 2
+    bodies = jnp.asarray(np.tile(np.asarray(s["body"])[None], (C, 1, 1)))
+    cams = jnp.asarray(np.tile(np.asarray(s["camera_ext"])[None],
+                               (C, 1, 1, 1)))
+    scenes = pad_scenes([np.asarray(s["scene"])] * C)
+    mesh = SH.make_mesh({"clips": 2})
+    mc = MultiClipSolver(solver=comp, mesh=mesh, frame_axis=None)
+    state_b, hist_b = mc.fit(bodies, cams, jnp.asarray(scenes),
+                             mode="local")
+    for c in range(C):
+        np.testing.assert_allclose(np.asarray(state_b.body_6d[c]),
+                                   np.asarray(st_c.body_6d),
+                                   atol=2e-5)
+
+
 def test_dct_only_phase_matches_generic(solver, scenario):
     """The specialized dct_a runner (loop-invariant joints hoisted out
     of the scan, _make_dct_only_phase) must reproduce the generic

@@ -281,3 +281,78 @@ def test_batched_grid_matches_single_beyond_small_bbox():
                                np.asarray(d_single), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(i_batch),
                                   np.asarray(i_single))
+
+
+def test_compact_candidates_keeps_distinct_nns():
+    """Refresh-time compaction (compact_candidates): with P_out >= the
+    number of distinct per-query NNs, every query's nearest neighbor
+    survives, so nn_to_candidates distances are IDENTICAL to the
+    uncompacted table's. (The contention score is exactly 0 for every
+    candidate that is some query's NN, so top_k keeps them all.)"""
+    rng = np.random.RandomState(11)
+    T, N, P = 5, 48, 96
+    q = jnp.asarray(rng.randn(T, N, 3).astype(np.float32))
+    cand = jnp.asarray(rng.randn(T, P, 3).astype(np.float32))
+    valid = jnp.asarray(rng.rand(T, P) > 0.2)
+    fc = NN.FrameCands(cand=cand, valid=valid)
+
+    d_full = np.asarray(NN.nn_to_candidates(q, fc))
+    # distinct winners per frame (<= N=48 <= P_out=64)
+    fc2 = NN.compact_candidates(q, fc, 64)
+    assert fc2.cand.shape == (T, 64, 3)
+    d_comp = np.asarray(NN.nn_to_candidates(q, fc2))
+    np.testing.assert_allclose(d_comp, d_full, rtol=1e-6, atol=1e-6)
+
+    # jit + vmap (the sharded refresh path) agree with eager
+    fc3 = jax.jit(lambda a, b: NN.compact_candidates(a, b, 64))(q, fc)
+    np.testing.assert_allclose(np.asarray(fc3.cand),
+                               np.asarray(fc2.cand))
+    qb = jnp.stack([q, q + 0.1])
+    fcb = NN.FrameCands(cand=jnp.stack([cand, cand]),
+                        valid=jnp.stack([valid, valid]))
+    fcv = jax.vmap(lambda a, b: NN.compact_candidates(a, b, 64))(qb, fcb)
+    np.testing.assert_allclose(np.asarray(fcv.cand[0]),
+                               np.asarray(fc2.cand))
+
+    # P_out >= P: unchanged table (same object semantics)
+    fc_same = NN.compact_candidates(q, fc, P)
+    assert fc_same is fc
+
+
+def test_compact_candidates_all_valid_kept_when_fits():
+    """P_out >= the number of VALID candidates: compaction is lossless
+    (every valid candidate survives; padding slots carry valid=False),
+    so even far-field / drifted queries see identical distances."""
+    rng = np.random.RandomState(12)
+    T, N, P = 4, 20, 64
+    q = jnp.asarray(rng.randn(T, N, 3).astype(np.float32))
+    cand = jnp.asarray(rng.randn(T, P, 3).astype(np.float32))
+    valid = jnp.asarray(np.arange(P)[None, :] < 24).repeat(T, 0)
+    fc = NN.FrameCands(cand=cand, valid=valid)
+    fc2 = NN.compact_candidates(q, fc, 32)
+    assert int(np.asarray(fc2.valid).sum()) == T * 24
+    # drifted queries: distances identical (set equality of candidates)
+    q2 = q + 0.3
+    d_full = np.asarray(NN.nn_to_candidates(q2, fc))
+    d_comp = np.asarray(NN.nn_to_candidates(q2, fc2))
+    np.testing.assert_allclose(d_comp, d_full, rtol=1e-6, atol=1e-6)
+
+
+def test_compact_candidates_upper_bound_and_grads():
+    """Aggressive compaction (P_out < distinct NNs): distances stay
+    valid UPPER bounds of the uncompacted table's (min over a kept
+    subset), and gradients through nn_to_candidates remain finite —
+    the same contract as a budget-overflowing frame_candidates
+    table."""
+    rng = np.random.RandomState(13)
+    T, N, P = 3, 64, 96
+    q = jnp.asarray(rng.randn(T, N, 3).astype(np.float32))
+    cand = jnp.asarray(rng.randn(T, P, 3).astype(np.float32))
+    fc = NN.FrameCands(cand=cand, valid=jnp.ones((T, P), bool))
+    fc2 = NN.compact_candidates(q, fc, 32)
+    d_full = np.asarray(NN.nn_to_candidates(q, fc))
+    d_comp = np.asarray(NN.nn_to_candidates(q, fc2))
+    assert np.all(d_comp >= d_full - 1e-6)
+    g = np.asarray(jax.grad(
+        lambda x: jnp.sum(NN.nn_to_candidates(x, fc2)))(q))
+    assert np.all(np.isfinite(g))
