@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "smoothing estimator (default 0 = exact full "
                         "mesh, matching the reference semantics; "
                         "e.g. 2048 trades exactness for speed)")
+    p.add_argument("--contact-compact", type=int, default=0,
+                   help="refresh-time contact candidate-table "
+                        "compaction budget (default 0 = full table, "
+                        "exact reference semantics; e.g. 192 keeps "
+                        "the most NN-contended candidates per frame "
+                        "and shrinks the per-step contact pass)")
     p.add_argument("--checkpoint-dir", default=None,
                    help="orbax-checkpoint solver state after each "
                         "phase (mid-optimization resume)")
@@ -99,6 +105,7 @@ def main(argv=None) -> int:
     window = 60 if T % 60 == 0 else T
     cfg = ClipConfig(num_iter=args.iters, lr=args.lr, window=window,
                      skate_subset=args.skate_subset,
+                     contact_compact=args.contact_compact,
                      cand_impl=args.cand_impl)
     solver = ClipSolver(model=model, vposer_params=vp,
                         scene_verts=jnp.asarray(scene),

@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vposer", default="./vposer")
     p.add_argument("--segments", default="./body_segments")
     p.add_argument("--iters", type=int, default=500)
+    p.add_argument("--contact-compact", type=int, default=0,
+                   help="refresh-time contact candidate-table "
+                        "compaction budget (default 0 = full table; "
+                        "see globalopt --contact-compact)")
     p.add_argument("--sdf-json", default=None,
                    help="PROX scene-SDF metadata json (with --sdf-npy "
                         "activates the collision term; one SDF shared "
@@ -107,7 +111,8 @@ def main(argv=None) -> int:
               "active", file=sys.stderr)
 
     window = 60 if T % 60 == 0 else T
-    cfg = ClipConfig(num_iter=args.iters, window=window)
+    cfg = ClipConfig(num_iter=args.iters, window=window,
+                     contact_compact=args.contact_compact)
     solver = ClipSolver(model=model, vposer_params=vp,
                         scene_verts=scenes[0],
                         contact_vids=np.concatenate([vids_l, vids_r]),
