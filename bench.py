@@ -300,6 +300,10 @@ def main():
     # final state are flat across 512..full (vert_smooth 0.0050-0.0055;
     # 1024 lands the best one) while ms/step drops 4.74 -> 3.98
     skate_subset = int(os.environ.get("FPV4D_BENCH_SKATE_SUBSET", "1024"))
+    # 192: the r5 full-solve ablation's pick (tools/ablate_compact.py)
+    # — local steady 2.439 -> 2.098 s with final phase losses flat to
+    # within 2e-5 across the 0/256/192/160/128 sweep
+    contact_compact = int(os.environ.get("FPV4D_BENCH_COMPACT", "192"))
     modes = os.environ.get(
         "FPV4D_BENCH_MODES", "local" if small else "local,global,dct"
     ).split(",")
@@ -317,7 +321,8 @@ def main():
     prob = BP.standard_problem(
         T=T, num_verts=num_verts, scene_pts=scene_pts,
         num_iter=num_iter, num_iter_dct=num_iter_dct,
-        skate_subset=skate_subset, cache_dir=cache_dir)
+        skate_subset=skate_subset, contact_compact=contact_compact,
+        cache_dir=cache_dir)
     model, vp, solver = prob.model, prob.vp, prob.solver
     body, cam, scene = prob.body, prob.cam, prob.scene
     rng = np.random.RandomState(1)
@@ -326,7 +331,9 @@ def main():
     cam_j = jnp.asarray(cam)
 
     extras = {"backend": backend, "frames": T,
-              "skate_subset": skate_subset, "modes": {}, "phases": {}}
+              "skate_subset": skate_subset,
+              "contact_compact": contact_compact,
+              "modes": {}, "phases": {}}
     if tunnel_down:
         extras["tunnel_down"] = True
 

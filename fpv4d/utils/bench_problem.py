@@ -117,10 +117,17 @@ def keypoint_problem(model, vp, T: int, num_iter: int = 120,
 def standard_problem(T: int = 900, num_verts: int = 10475,
                      scene_pts: int = 100_489, num_iter: int = 500,
                      num_iter_dct: int = 10000, skate_subset: int = 1024,
-                     contact_compact: int | None = None,
+                     contact_compact: int | None = 192,
                      cache_dir: str | None = None) -> StandardProblem:
     """Build the standard problem at the given sizes (defaults are the
-    production/bench shapes; bench's SMALL mode passes tiny ones)."""
+    production/bench shapes; bench's SMALL mode passes tiny ones).
+
+    contact_compact=192 is the r5 hardware ablation's pick
+    (tools/ablate_compact.py): full-solve sweep 0/2.439s, 256/2.328,
+    192/2.098, 160/2.155, 128/2.232 — non-monotonic below 192 (TPU
+    tile effects) with final phase losses flat to within 2e-5 across
+    the whole sweep, so 192 buys pure speed. Pass 0 for the exact
+    full-table reference semantics."""
     from fpv4d.config import ClipConfig
     from fpv4d.models import vposer
     from fpv4d.ops import contact

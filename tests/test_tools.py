@@ -86,6 +86,9 @@ def test_standard_problem_workload_pinned(tmp_path):
     # the leg subtree — this is what the r4 headline measures
     assert p.solver._contact_prune is not None
     assert len(p.solver._contact_prune[0]) <= 14
+    # r5: the bench solve runs with refresh-time candidate compaction
+    # at the ablated budget (tools/ablate_compact.py; PERFORMANCE.md)
+    assert p.solver.config.contact_compact == 192
 
 
 @pytest.mark.slow

@@ -28,8 +28,11 @@ def main():
     from fpv4d.solve.clip_solve import mask_stop_gradient
 
     BP.enable_persistent_cache()
+    # contact_compact=0: this probe slices the FULL refresh table —
+    # compaction would shrink it below the P values being swept
     prob = BP.standard_problem(T=900, num_verts=10475,
-                               scene_pts=100_489, num_iter=500)
+                               scene_pts=100_489, num_iter=500,
+                               contact_compact=0)
     solver = prob.solver
     body_j = jnp.asarray(prob.body)
     cam_j = jnp.asarray(prob.cam)
