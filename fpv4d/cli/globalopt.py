@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "smoothing estimator (default 0 = exact full "
                         "mesh, matching the reference semantics; "
                         "e.g. 2048 trades exactness for speed)")
+    p.add_argument("--skate-body-only", action="store_true",
+                   help="restrict the skate sample to body-subtree "
+                        "vertices (zero weight on all hand/eye "
+                        "joints) so the skate FK prunes to <=23 "
+                        "joints; requires --skate-subset > 0")
     p.add_argument("--contact-compact", type=int, default=0,
                    help="refresh-time contact candidate-table "
                         "compaction budget (default 0 = full table, "
@@ -105,6 +110,7 @@ def main(argv=None) -> int:
     window = 60 if T % 60 == 0 else T
     cfg = ClipConfig(num_iter=args.iters, lr=args.lr, window=window,
                      skate_subset=args.skate_subset,
+                     skate_body_only=args.skate_body_only,
                      contact_compact=args.contact_compact,
                      cand_impl=args.cand_impl)
     solver = ClipSolver(model=model, vposer_params=vp,

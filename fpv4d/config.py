@@ -53,6 +53,15 @@ class ClipConfig:
     # LBS and HBM traffic ~5x. 0 = full mesh (exact reference
     # semantics).
     skate_subset: int = 0
+    # restrict the stratified skate sample to vertices whose LBS
+    # weights are zero on every joint >= 23 (eyes + 30 finger
+    # joints), so the skate forward's joint support stays in the
+    # body subtree: FK prunes 55 joints/depth 11 -> <=23/depth 8 and
+    # the hand-PCA chains drop out of that phase. The estimator then
+    # under-covers hand/eye vertices; effect measured on hardware via
+    # tools/ablate_skate.py rows with a 'b' suffix. No-op when
+    # skate_subset == 0 or weights are dense (nothing qualifies).
+    skate_body_only: bool = False
     # lazy-refresh contact NN (nn_impl='grid' only): rebuild each
     # frame's candidate point set every this-many Adam steps (outside
     # the compiled scan) and evaluate the per-step contact term

@@ -267,8 +267,21 @@ class ClipSolver:
         # semantics)
         n_sub = self.config.skate_subset
         if n_sub and n_sub < self.model.num_verts:
-            strat = np.linspace(0, self.model.num_verts - 1, n_sub,
-                                dtype=np.int64)
+            pool = np.arange(self.model.num_verts, dtype=np.int64)
+            if self.config.skate_body_only:
+                # keep only vertices skinned entirely by the body
+                # subtree (joints < len(_BODY_JOINTS)) so
+                # joint_support prunes the skate FK to <=23 joints;
+                # feet vids are appended below either way
+                w = np.asarray(self.model.lbs_weights)
+                nb = len(_BODY_JOINTS)
+                if w.shape[1] > nb:
+                    ok = (w[:, nb:] == 0).all(axis=1)
+                    if ok.any():
+                        pool = pool[ok]
+            strat = pool[np.linspace(0, len(pool) - 1,
+                                     min(n_sub, len(pool)),
+                                     dtype=np.int64)]
             vids = np.unique(np.concatenate(
                 [strat, self.contact_vids_left, self.contact_vids_right]))
             self._skate_vids = vids.astype(np.int32)

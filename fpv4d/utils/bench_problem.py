@@ -117,6 +117,7 @@ def keypoint_problem(model, vp, T: int, num_iter: int = 120,
 def standard_problem(T: int = 900, num_verts: int = 10475,
                      scene_pts: int = 100_489, num_iter: int = 500,
                      num_iter_dct: int = 10000, skate_subset: int = 1024,
+                     skate_body_only: bool = False,
                      contact_compact: int | None = 192,
                      cache_dir: str | None = None) -> StandardProblem:
     """Build the standard problem at the given sizes (defaults are the
@@ -155,7 +156,8 @@ def standard_problem(T: int = 900, num_verts: int = 10475,
         "contact_compact": contact_compact}
     cfg = ClipConfig(num_iter=num_iter, num_iter_dct=num_iter_dct,
                      window=60 if T % 60 == 0 else T, dct_num=5,
-                     skate_subset=skate_subset, **kw)
+                     skate_subset=skate_subset,
+                     skate_body_only=skate_body_only, **kw)
     solver = ClipSolver(
         model=model, vposer_params=vp,
         scene_verts=scene,  # np: grid builds host-side, upload is lazy

@@ -197,6 +197,56 @@ def test_skate_subset_estimator(scenario):
     assert np.all(np.isfinite(hist["local_skate"]))
 
 
+def test_skate_body_only_prunes_and_tracks(scenario):
+    """skate_body_only on a sparse-weight model: the sample pool drops
+    to body-subtree vertices, joint pruning engages on the skate
+    forward, feet stay exact, the smoothing estimate still tracks the
+    full-mesh value, and the full local fit stays finite."""
+    from fpv4d.models import smplx as jsmplx
+    from fpv4d.ops import contact
+    s = scenario
+    nv = s["model"].num_verts
+    model = jsmplx.synthetic_model(num_verts=nv, seed=0,
+                                   sparse_weights=True)
+    segs = contact.synthetic_segments(nv, seed=0, coherent=True)
+    vids_l = np.asarray(segs["L_Leg"], np.int32)
+    vids_r = np.asarray(segs["R_Leg"], np.int32)
+    kw = dict(model=model, vposer_params=s["vp"],
+              scene_verts=s["scene"],
+              contact_vids=np.concatenate([vids_l, vids_r]),
+              contact_vids_left=vids_l, contact_vids_right=vids_r,
+              use_pallas=False)
+    full = ClipSolver(config=ClipConfig(num_iter=4, window=6,
+                                        dct_num=3), **kw)
+    sub = ClipSolver(config=ClipConfig(num_iter=4, window=6, dct_num=3,
+                                       skate_subset=128,
+                                       skate_body_only=True), **kw)
+    # the pool really is body-only: every sampled vertex (minus the
+    # always-appended feet) has zero weight on joints >= 23
+    w = np.asarray(model.lbs_weights)
+    feet = set(int(v) for v in np.concatenate([vids_l, vids_r]))
+    strat = [int(v) for v in sub._skate_vids if int(v) not in feet]
+    assert strat, "stratified sample empty"
+    assert (w[strat][:, 23:] == 0).all()
+    # joint pruning engages on the skate forward and stays in the
+    # body subtree (plus whatever the foot verts touch, which on the
+    # coherent segments is the leg chain < 23)
+    assert sub._skate_prune is not None
+    kept = np.asarray(sub._skate_prune[0])
+    assert kept.max() < 23
+
+    state, target, wts = full.init_state(s["body"], s["camera_ext"])
+    wr = full.detect_contact(state)
+    rec_f, ls_f, vs_f, sk_f = [float(x) for x in
+                               full.terms2(state, target, wts, wr)]
+    rec_s, ls_s, vs_s, sk_s = [float(x) for x in
+                               sub.terms2(state, target, wts, wr)]
+    assert sk_s == pytest.approx(sk_f, rel=1e-4)   # feet exact
+    assert vs_s == pytest.approx(vs_f, rel=0.35)   # biased-pool estimate
+    st, hist = sub.fit(s["body"], s["camera_ext"], mode="local")
+    assert np.all(np.isfinite(hist["local_skate"]))
+
+
 def test_lazy_contact_matches_exact_grid(scenario):
     """Grid mode with lazy candidate refresh: close to the exact
     per-step grid solve (identical while queries stay within their

@@ -34,11 +34,14 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--subsets", default="512,1024,2048,4096,0")
+    ap.add_argument("--subsets", default="512,1024,2048,4096,0",
+                    help="comma list; a 'b' suffix (e.g. 1024b) sets "
+                         "skate_body_only=True for that row")
     ap.add_argument("--steps", type=int, default=200,
                     help="skate phase length (reference: 0.4 x 500)")
     a = ap.parse_args()
-    subsets = [int(s) for s in a.subsets.split(",")]
+    subsets = [(int(s.rstrip("b")), s.endswith("b"))
+               for s in a.subsets.split(",")]
 
     import jax
     import jax.numpy as jnp
@@ -50,7 +53,7 @@ def main():
     if small:
         prob = BP.standard_problem(T=12, num_verts=256, scene_pts=64,
                                    num_iter=4)
-        subsets = [64, 0]
+        subsets = [(64, False), (64, True), (0, False)]
         a.steps = 4
     else:
         prob = BP.standard_problem()
@@ -98,13 +101,15 @@ def main():
           f"skate={t_pre[3]:.6f}", file=sys.stderr)
 
     rows = {}
-    for s in subsets:
+    for s, body_only in subsets:
+        key = f"{s}b" if body_only else str(s)
         sv = ClipSolver(
             model=solver0.model, vposer_params=solver0.vposer_params,
             scene_verts=prob.scene, contact_vids=solver0.contact_vids,
             contact_vids_left=solver0.contact_vids_left,
             contact_vids_right=solver0.contact_vids_right,
-            config=dataclasses.replace(cfg, skate_subset=s))
+            config=dataclasses.replace(cfg, skate_subset=s,
+                                       skate_body_only=body_only))
         n_verts = (len(sv._skate_vids) if sv._skate_vids is not None
                    else sv.model.num_verts)
         # estimator quality at the shared state (vert-smooth term);
@@ -126,8 +131,9 @@ def main():
         # outcome: exact full-mesh terms at the final state
         t_post = np.asarray(exact_terms(solver_full.ctx, out[0],
                                         target, weights, wr))
-        rows[str(s)] = {
+        rows[key] = {
             "verts": int(n_verts),
+            "body_only": body_only,
             "ms_per_step": round(dt / a.steps * 1e3, 3),
             "vert_smooth_rel_err": round(est_rel_err, 5),
             "exact_final": {
@@ -137,7 +143,7 @@ def main():
                 "skate": round(float(t_post[3]), 6)},
             "prune_engaged": sv._skate_prune is not None,
         }
-        print(f"[ablate_skate] subset={s} ({n_verts} verts): "
+        print(f"[ablate_skate] subset={key} ({n_verts} verts): "
               f"{dt / a.steps * 1e3:.3f} ms/step, est_rel_err "
               f"{est_rel_err:.4f}, exact final vert_smooth "
               f"{t_post[2]:.6f} skate {t_post[3]:.6f}",
