@@ -117,7 +117,7 @@ def keypoint_problem(model, vp, T: int, num_iter: int = 120,
 def standard_problem(T: int = 900, num_verts: int = 10475,
                      scene_pts: int = 100_489, num_iter: int = 500,
                      num_iter_dct: int = 10000, skate_subset: int = 1024,
-                     skate_body_only: bool = False,
+                     skate_body_only: bool = True,
                      contact_compact: int | None = 192,
                      cache_dir: str | None = None) -> StandardProblem:
     """Build the standard problem at the given sizes (defaults are the
@@ -128,7 +128,15 @@ def standard_problem(T: int = 900, num_verts: int = 10475,
     192/2.098, 160/2.155, 128/2.232 — non-monotonic below 192 (TPU
     tile effects) with final phase losses flat to within 2e-5 across
     the whole sweep, so 192 buys pure speed. Pass 0 for the exact
-    full-table reference semantics."""
+    full-table reference semantics.
+
+    skate_body_only=True is the r5 hardware ablation's pick
+    (tools/ablate_skate.py 'b' rows, ablate_skate_out.json): the
+    body-subtree stratified sample engages joint pruning on the skate
+    forward (55 -> <23 joints), 3.96 -> 2.90 ms/step at a BETTER
+    estimator error (7.9e-4 vs 1.03e-3) and final exact full-mesh
+    vert_smooth/skate in the same band as the unrestricted sample
+    (0.00538/0.00323 vs 0.00523/0.00307 after 200 steps)."""
     from fpv4d.config import ClipConfig
     from fpv4d.models import vposer
     from fpv4d.ops import contact
